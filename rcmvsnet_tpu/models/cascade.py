@@ -1,0 +1,189 @@
+"""CascadeMVSNet: 3-stage coarse-to-fine plane-sweep depth network.
+
+Parity target: CascadeMVSNet / CascadeMVSNet_eval at
+/root/reference/models/casmvsnet.py:45-417, with a TPU-first restructuring:
+
+  * channels-last everywhere; the V feature extractions run as one batched
+    [B·V] conv pass instead of a per-view Python loop;
+  * cost volumes are built by the streamed warp+variance op (no per-view
+    warped volume materialization — ops/warp.py);
+  * the eval path skips the reference's dead `img_feat` image-warping
+    bookkeeping entirely (computed but unused at
+    /root/reference/models/casmvsnet.py:247-271), and the train path builds
+    `volume_feature_no_ref` only for stage 1 — the only stage whose volume
+    the rendering branch consumes (/root/reference/models/casmvsnet.py:231);
+  * depth_min/max/interval are per-batch tensors rather than the
+    batch-0 Python floats the reference uses (equal for the reference's
+    batch-size-1-per-device configuration).
+
+Stage schedule (defaults): ndepths 48/32/8, interval ratios 4/2/1, feature
+scales 1/4, 1/2, 1/1, shared-weights DepthNet with per-stage CostRegNet.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.geometry import (compose_projection, linspace_depth_samples,
+                             window_depth_samples)
+from ..nn.costreg import CostRegNet
+from ..nn.featurenet import FeatureNet
+from ..ops.sampling import resize_bilinear, resize_trilinear
+from ..ops.warp import (homo_warp, plane_sweep_variance,
+                        plane_sweep_variance_no_ref)
+
+STAGE_SCALES = (4, 2, 1)
+
+
+def depth_regression(prob_volume: jnp.ndarray, depth_values: jnp.ndarray) -> jnp.ndarray:
+    """Soft-argmax over the depth axis: Σ p·d.
+
+    prob_volume: [B, D, H, W]; depth_values: [B, D] or [B, D, H, W].
+    Matches /root/reference/models/modules.py:519-525.
+    """
+    if depth_values.ndim == 2:
+        depth_values = depth_values[:, :, None, None]
+    return jnp.sum(prob_volume * depth_values, axis=1)
+
+
+def photometric_confidence(prob_volume: jnp.ndarray) -> jnp.ndarray:
+    """Sum of the probability mass in a 4-window around the argmax depth.
+
+    prob_volume: [B, D, H, W]. Matches
+    /root/reference/models/casmvsnet.py:115-122: pad depth by (1, 2), sliding
+    window-4 sum, gathered at floor(Σ p·i) clamped to [0, D−1].
+    """
+    prob_volume = jax.lax.stop_gradient(prob_volume)
+    B, D, H, W = prob_volume.shape
+    padded = jnp.pad(prob_volume, ((0, 0), (1, 2), (0, 0), (0, 0)))
+    # sliding sum of 4 along depth via cumulative sum
+    csum = jnp.cumsum(padded, axis=1)
+    csum = jnp.pad(csum, ((0, 0), (1, 0), (0, 0), (0, 0)))
+    sum4 = csum[:, 4:] - csum[:, :-4]  # [B, D, H, W]
+    idx_f = jnp.sum(prob_volume * jnp.arange(D, dtype=prob_volume.dtype)
+                    [None, :, None, None], axis=1)
+    idx = jnp.clip(idx_f.astype(jnp.int32), 0, D - 1)  # trunc == torch .long()
+    return jnp.take_along_axis(sum4, idx[:, None], axis=1)[:, 0]
+
+
+class _DepthStage(nn.Module):
+    """One cascade stage: cost volume → regularize → soft-argmax."""
+    base_channels: int = 8
+
+    @nn.compact
+    def __call__(self, features, projs, depth_values, imgs_stage=None,
+                 train: bool = False, want_volume: bool = False):
+        """
+        features: [B, V, h, w, C] stage features; projs: [B, V, 4, 4]
+        K-folded; depth_values: [B, D, h, w]; imgs_stage: [B, V, h, w, 3]
+        (only needed when want_volume).
+        Returns dict with depth [B,h,w], photometric_confidence [B,h,w], and
+        optionally volume_feature_no_ref [B, D, h, w, 3(V−1)+C].
+        """
+        B, V, h, w, C = features.shape
+        ref_feat = features[:, 0]
+        src_feats = [features[:, i] for i in range(1, V)]
+        ref_proj = projs[:, 0]
+        src_projs = [projs[:, i] for i in range(1, V)]
+
+        variance, _ = plane_sweep_variance(
+            ref_feat, src_feats, src_projs, ref_proj, depth_values)
+
+        extras = {}
+        if want_volume:
+            warped_imgs = [homo_warp(imgs_stage[:, i], src_projs[i - 1],
+                                     ref_proj, depth_values)
+                           for i in range(1, V)]
+            warped_feats = [homo_warp(f, p, ref_proj, depth_values)
+                            for f, p in zip(src_feats, src_projs)]
+            var_no_ref = plane_sweep_variance_no_ref(warped_feats)
+            extras["volume_feature_no_ref"] = jnp.concatenate(
+                warped_imgs + [var_no_ref], axis=-1)
+
+        cost = CostRegNet(self.base_channels, name="cost_reg")(variance, train)
+        prob_volume = jax.nn.softmax(cost[..., 0], axis=1)  # [B, D, h, w]
+        depth = depth_regression(prob_volume, depth_values)
+        conf = photometric_confidence(prob_volume)
+        return {"depth": depth, "photometric_confidence": conf, **extras}
+
+
+class CascadeMVSNet(nn.Module):
+    ndepths: Sequence[int] = (48, 32, 8)
+    depth_intervals_ratio: Sequence[float] = (4.0, 2.0, 1.0)
+    cr_base_chs: Sequence[int] = (8, 8, 8)
+    base_channels: int = 8
+    grad_detach: bool = True  # grad_method='detach'
+
+    @nn.compact
+    def __call__(self, imgs, proj_matrices, depth_values, train: bool = False,
+                 return_volume: bool = False):
+        """
+        imgs: [B, V, H, W, 3]; proj_matrices: {stageK: [B, V, 2, 4, 4]};
+        depth_values: [B, Dfull] full sweep hypotheses.
+
+        Returns outputs dict {stage1..3: {depth, photometric_confidence},
+        depth, photometric_confidence} and, when return_volume, the stage-1
+        volume_feature_no_ref for the rendering branch.
+        """
+        B, V, H, W, _ = imgs.shape
+        num_stage = len(self.ndepths)
+        d_min = depth_values[:, 0]
+        d_max = depth_values[:, -1]
+        depth_interval = (d_max - d_min) / depth_values.shape[1]  # [B]
+
+        feats_flat = FeatureNet(self.base_channels, num_stage, name="feature")(
+            imgs.reshape(B * V, H, W, 3), train)
+
+        outputs = {}
+        depth = None
+        volume_feature = None
+        for stage_idx in range(num_stage):
+            stage_key = f"stage{stage_idx + 1}"
+            scale = STAGE_SCALES[stage_idx]
+            h, w = H // scale, W // scale
+            nd = self.ndepths[stage_idx]
+
+            feats_stage = feats_flat[stage_key]
+            Cs = feats_stage.shape[-1]
+            features = feats_stage.reshape(B, V, h, w, Cs)
+            projs = compose_projection(proj_matrices[stage_key])  # [B,V,4,4]
+
+            if depth is None:
+                samples_full = linspace_depth_samples(depth_values, nd, H, W)
+            else:
+                cur = jax.lax.stop_gradient(depth) if self.grad_detach else depth
+                cur = resize_bilinear(cur[..., None], H, W,
+                                      align_corners=False)[..., 0]
+                interval = (self.depth_intervals_ratio[stage_idx]
+                            * depth_interval)[:, None, None]
+                samples_full = window_depth_samples(cur, nd, interval)
+            # trilinear resize [B, nd, H, W] → [B, nd, h, w]
+            # (align_corners=False, matching Align_Corners_Range)
+            depth_samples = resize_trilinear(
+                samples_full[..., None], nd, h, w, align_corners=False)[..., 0]
+
+            want_volume = return_volume and stage_idx == 0
+            imgs_stage = None
+            if want_volume:
+                imgs_stage = resize_bilinear(
+                    imgs.reshape(B * V, H, W, 3), h, w,
+                    align_corners=False).reshape(B, V, h, w, 3)
+
+            stage_out = _DepthStage(
+                self.cr_base_chs[stage_idx], name=f"stage{stage_idx + 1}")(
+                features, projs, depth_samples, imgs_stage, train, want_volume)
+
+            depth = stage_out["depth"]
+            if want_volume:
+                volume_feature = stage_out.pop("volume_feature_no_ref")
+            outputs[stage_key] = stage_out
+
+        outputs["depth"] = outputs[f"stage{num_stage}"]["depth"]
+        outputs["photometric_confidence"] = (
+            outputs[f"stage{num_stage}"]["photometric_confidence"])
+        if return_volume:
+            return outputs, volume_feature
+        return outputs

@@ -1,0 +1,104 @@
+"""Rendering-consistency branch: neural volume + NeRF MLP supervised by ray
+colors and backbone pseudo-depth.
+
+Parity target: Rendering_Consistency_Net at
+/root/reference/models/render_consist_net.py:11-77 with
+create_nerf_mvs(use_mvs=True, dir_embedder=False, pts_embedder=True) —
+i.e. positional encoding (multires 10) on the NDC point coordinates, raw
+view directions (no dir encoding), feat_dim = 8 + 3·4 = 20.
+
+TPU-first: the MLP runs fully batched over all N_rays × N_samples points
+(the reference chunks through netchunk=1024 —
+/root/reference/models/renderer.py:28-40); the whole branch is one jittable
+function of (params, volume_feature, pseudo_depth, batch, rng).
+
+Like the reference (render_utils.py:179 "assuming batch size equal to 1"),
+the ray sampler operates on batch element 0; data parallelism replicates
+this per device.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.geometry import HIGHEST
+from ..nn.mlp import NerfMLP, positional_encoding
+from ..nn.neural_volume import NeuralVolumeNet
+from ..render.rays import RayBatch, build_color_volume, index_point_feature, sample_rays
+from ..render.volume_render import RenderOutput, depth2dist, volumetric_render
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+
+
+def unpreprocess(imgs: jnp.ndarray) -> jnp.ndarray:
+    """Invert ImageNet normalization ([..., 3] channels-last).
+
+    Matches /root/reference/models/render_consist_net.py:44-51.
+    """
+    return imgs * IMAGENET_STD + IMAGENET_MEAN
+
+
+class RenderResult(NamedTuple):
+    rgb: jnp.ndarray          # [N_rays, 3]
+    depth: jnp.ndarray        # [N_rays]
+    target_rgb: jnp.ndarray   # [N_rays, 3]
+    rays_depth: jnp.ndarray   # [N_rays] pseudo-depth supervision
+    weights: jnp.ndarray      # [N_rays, S]
+    alpha: jnp.ndarray        # [N_rays, S]
+
+
+class RenderingConsistencyNet(nn.Module):
+    n_rays: int = 1024
+    n_samples: int = 128
+    multires: int = 10
+    net_depth: int = 6
+    net_width: int = 128
+    volume_channels: int = 8
+    pad: int = 0
+
+    @nn.compact
+    def __call__(self, volume_feature, pseudo_depth, imgs, w2cs, c2ws,
+                 intrinsics, near_fars, rng, train: bool = False) -> RenderResult:
+        """
+        volume_feature: [B, D0, h, w, 3(V−1)+C] stage-1 no-ref volume
+        pseudo_depth:   [B, H, W] detached stage-3 backbone depth
+        imgs:           [B, V, H, W, 3] ImageNet-normalized train images
+        w2cs/c2ws:      [B, V, 4, 4]; intrinsics: [B, V, 3, 3] (full-res)
+        near_fars:      [B, V, 2]; rng: PRNG key for ray/deph sampling
+        """
+        volume = NeuralVolumeNet(base_channels=self.volume_channels,
+                                 name="neural_volume")(volume_feature, train)
+
+        imgs0 = unpreprocess(imgs[0])          # [V, H, W, 3]
+        V, H, W, _ = imgs0.shape
+        rays: RayBatch = sample_rays(
+            rng, imgs0, pseudo_depth[0], w2cs[0], c2ws[0], intrinsics[0],
+            near_fars[0], self.n_rays, self.n_samples, self.pad)
+
+        cos_angle = jnp.linalg.norm(rays.dirs_world, axis=-1)       # [N]
+        viewdirs = jnp.matmul(rays.dirs_world / cos_angle[:, None],
+                              w2cs[0, 0, :3, :3].T, precision=HIGHEST)
+
+        ray_feats = index_point_feature(volume, rays.ndc)            # [N,S,8]
+        # the reference pairs src images (views 1..V-1) with the cams of
+        # views 0..V-2 — reproduced here (see render/rays.py docstring)
+        color_feats = build_color_volume(
+            rays.pts_world, imgs0[-3:], w2cs[0, :3], intrinsics[0, :3],
+            (W, H))                                                  # [N,S,12]
+        input_feat = jnp.concatenate([ray_feats, color_feats], axis=-1)
+
+        pts_enc = positional_encoding(rays.ndc, self.multires)       # [N,S,63]
+        views = jnp.broadcast_to(viewdirs[:, None],
+                                 (*rays.ndc.shape[:2], 3))
+        raw = NerfMLP(self.net_depth, self.net_width,
+                      in_ch_pts=pts_enc.shape[-1], name="nerf")(
+            pts_enc, input_feat, views)                              # [N,S,4]
+
+        dists = depth2dist(rays.z_vals, cos_angle)
+        out: RenderOutput = volumetric_render(raw, rays.z_vals, dists)
+        return RenderResult(out.rgb, out.depth, rays.target_rgb,
+                            rays.pseudo_depth, out.weights, out.alpha)

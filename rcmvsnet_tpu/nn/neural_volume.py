@@ -1,0 +1,31 @@
+"""Neural volume encoder: backbone cost volume → 8-channel NeRF volume.
+
+Parity target: Neural_Volume_Net at
+/root/reference/models/render_models.py:736-760 — trilinear
+(align_corners=True) resize of the stage-1 `volume_feature_no_ref`
+([B, 48, H/4, W/4, 3(V−1)+32] channels-last here) to 128 depth planes, then
+the no-ReLU conv+BN 3D U-Net (`CostReg(32+9, base=8)`).
+
+The reference converts these BatchNorm2d instances via SyncBatchNorm
+(train_rcmvsnet.py:524), which is what makes them accept 5-D input —
+semantically BatchNorm3d, which is what TorchBatchNorm provides here.
+"""
+from __future__ import annotations
+
+from flax import linen as nn
+
+from ..ops.sampling import resize_trilinear
+from .costreg import RenderCostReg
+
+
+class NeuralVolumeNet(nn.Module):
+    num_planes: int = 128
+    base_channels: int = 8
+
+    @nn.compact
+    def __call__(self, volume_feature, train: bool = False):
+        """volume_feature: [B, D0, H, W, C] → [B, num_planes, H, W, base]."""
+        B, D0, H, W, C = volume_feature.shape
+        vol = resize_trilinear(volume_feature, self.num_planes, H, W,
+                               align_corners=True)
+        return RenderCostReg(self.base_channels, name="cost_reg_2")(vol, train)
