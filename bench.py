@@ -1,0 +1,74 @@
+"""Benchmark: DTU-protocol eval throughput of the CascadeMVSNet backbone.
+
+Measures depth-maps/sec/chip at 1152×864, 5 views, 192 depth hypotheses —
+the BASELINE.json north-star configuration. Prints ONE JSON line.
+
+vs_baseline compares against an ESTIMATED reference throughput of
+4.0 depth-maps/s on an RTX 3090 (the reference repo publishes no number —
+BASELINE.md; CasMVSNet-class backbones run ~0.25 s/view at this size on a
+3090). vs_baseline = ours / 4.0, so 2.0 == the "≥2× reference" target.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_MAPS_PER_SEC = 4.0  # estimated RTX 3090 reference (see module docstring)
+
+H, W, VIEWS, NDEPTH = 864, 1152, 5, 192
+WARMUP, ITERS = 2, 10
+
+
+def main():
+    from rcmvsnet_tpu.config import Config
+    from rcmvsnet_tpu.data.synthetic import make_synthetic_batch
+    from rcmvsnet_tpu.train.state import make_models
+
+    config = Config()
+    cascade, _ = make_models(config)
+
+    batch = make_synthetic_batch(B=1, V=VIEWS, H=H, W=W, ndepth=NDEPTH, seed=0)
+    imgs = jnp.asarray(batch["imgs"])
+    projs = jax.tree_util.tree_map(jnp.asarray, batch["proj_matrices"])
+    depth_values = jnp.asarray(batch["depth_values"])
+
+    variables = jax.jit(
+        lambda rng: cascade.init(rng, imgs, projs, depth_values, train=False)
+    )(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def forward(variables, imgs, projs, depth_values):
+        out = cascade.apply(variables, imgs, projs, depth_values, train=False)
+        return out["depth"], out["photometric_confidence"]
+
+    def sync(x):
+        # block_until_ready does not reliably synchronize on tunneled
+        # platforms; a scalar host transfer does
+        return float(x.reshape(-1)[0])
+
+    for _ in range(WARMUP):
+        depth, conf = forward(variables, imgs, projs, depth_values)
+        sync(depth)
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        depth, conf = forward(variables, imgs, projs, depth_values)
+        sync(depth)
+    elapsed = time.perf_counter() - start
+
+    maps_per_sec = ITERS / elapsed
+    assert np.isfinite(np.asarray(depth)).all()
+    print(json.dumps({
+        "metric": f"dtu_eval_depth_maps_per_sec_{W}x{H}",
+        "value": round(maps_per_sec, 4),
+        "unit": "depth-maps/s/chip",
+        "vs_baseline": round(maps_per_sec / REF_MAPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

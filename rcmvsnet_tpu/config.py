@@ -1,0 +1,79 @@
+"""Typed configuration tree (replaces the reference's ~60 argparse flags
+spread over three drivers — /root/reference/train_rcmvsnet.py:27-123,
+eval_rcmvsnet_dtu.py:26-79, eval_rcmvsnet_tanks.py:29-89)."""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    ndepths: Tuple[int, ...] = (48, 32, 8)
+    depth_intervals_ratio: Tuple[float, ...] = (4.0, 2.0, 1.0)
+    cr_base_chs: Tuple[int, ...] = (8, 8, 8)
+    base_channels: int = 8
+    grad_detach: bool = True
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    n_rays: int = 1024
+    n_samples: int = 128
+    multires: int = 10
+    net_depth: int = 6
+    net_width: int = 128
+    volume_channels: int = 8
+    num_planes: int = 128
+    pad: int = 0
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    dlossw: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    w_aug: float = 0.01
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    datapath: str = ""
+    train_list: str = "lists/dtu/train.txt"
+    val_list: str = "lists/dtu/val.txt"
+    test_list: str = "lists/dtu/test.txt"
+    num_views: int = 4          # 1 ref + 3 src (train)
+    eval_num_views: int = 5
+    numdepth: int = 192
+    interval_scale: float = 1.06
+    max_h: int = 1200
+    max_w: int = 1600
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    epochs: int = 15
+    lr: float = 1e-4
+    lr_milestone_epochs: Tuple[int, ...] = (10, 12, 14)
+    lr_gamma: float = 0.5
+    warmup_iters: int = 500
+    warmup_factor: float = 1.0 / 3.0
+    weight_decay: float = 0.0
+    batch_size: int = 1          # per device
+    seed: int = 1
+    logdir: str = "./rc-mvsnet"
+    save_freq: int = 1
+    eval_freq: int = 1
+    summary_freq: int = 10
+    n_devices: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Config:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def replace(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)

@@ -12,12 +12,15 @@ TPU-first: the MLP runs fully batched over all N_rays × N_samples points
 /root/reference/models/renderer.py:28-40); the whole branch is one jittable
 function of (params, volume_feature, pseudo_depth, batch, rng).
 
-Like the reference (render_utils.py:179 "assuming batch size equal to 1"),
-the ray sampler operates on batch element 0; data parallelism replicates
-this per device.
+Unlike the reference (render_utils.py:179 "assuming batch size equal to 1",
+one sample per GPU process), this module is batched: the per-sample ray
+sampling/rendering is vmapped over the batch axis, so a GSPMD-sharded
+global batch renders each element on its own device — the exact analogue of
+each DDP rank rendering its local sample.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -43,12 +46,12 @@ def unpreprocess(imgs: jnp.ndarray) -> jnp.ndarray:
 
 
 class RenderResult(NamedTuple):
-    rgb: jnp.ndarray          # [N_rays, 3]
-    depth: jnp.ndarray        # [N_rays]
-    target_rgb: jnp.ndarray   # [N_rays, 3]
-    rays_depth: jnp.ndarray   # [N_rays] pseudo-depth supervision
-    weights: jnp.ndarray      # [N_rays, S]
-    alpha: jnp.ndarray        # [N_rays, S]
+    rgb: jnp.ndarray          # [B, N_rays, 3]
+    depth: jnp.ndarray        # [B, N_rays]
+    target_rgb: jnp.ndarray   # [B, N_rays, 3]
+    rays_depth: jnp.ndarray   # [B, N_rays] pseudo-depth supervision
+    weights: jnp.ndarray      # [B, N_rays, S]
+    alpha: jnp.ndarray        # [B, N_rays, S]
 
 
 class RenderingConsistencyNet(nn.Module):
@@ -58,6 +61,7 @@ class RenderingConsistencyNet(nn.Module):
     net_depth: int = 6
     net_width: int = 128
     volume_channels: int = 8
+    num_planes: int = 128
     pad: int = 0
 
     @nn.compact
@@ -70,33 +74,38 @@ class RenderingConsistencyNet(nn.Module):
         w2cs/c2ws:      [B, V, 4, 4]; intrinsics: [B, V, 3, 3] (full-res)
         near_fars:      [B, V, 2]; rng: PRNG key for ray/deph sampling
         """
-        volume = NeuralVolumeNet(base_channels=self.volume_channels,
+        volume = NeuralVolumeNet(num_planes=self.num_planes,
+                                 base_channels=self.volume_channels,
                                  name="neural_volume")(volume_feature, train)
 
-        imgs0 = unpreprocess(imgs[0])          # [V, H, W, 3]
-        V, H, W, _ = imgs0.shape
-        rays: RayBatch = sample_rays(
-            rng, imgs0, pseudo_depth[0], w2cs[0], c2ws[0], intrinsics[0],
-            near_fars[0], self.n_rays, self.n_samples, self.pad)
+        B, V, H, W, _ = imgs.shape
+        imgs_un = unpreprocess(imgs)                  # [B, V, H, W, 3]
+        keys = jax.random.split(rng, B)
 
-        cos_angle = jnp.linalg.norm(rays.dirs_world, axis=-1)       # [N]
-        viewdirs = jnp.matmul(rays.dirs_world / cos_angle[:, None],
-                              w2cs[0, 0, :3, :3].T, precision=HIGHEST)
+        rays: RayBatch = jax.vmap(partial(
+            sample_rays, n_rays=self.n_rays, n_samples=self.n_samples,
+            pad=self.pad))(keys, imgs_un, pseudo_depth, w2cs, c2ws,
+                           intrinsics, near_fars)
 
-        ray_feats = index_point_feature(volume, rays.ndc)            # [N,S,8]
+        cos_angle = jnp.linalg.norm(rays.dirs_world, axis=-1)        # [B,N]
+        viewdirs = jnp.einsum("bnj,bkj->bnk",
+                              rays.dirs_world / cos_angle[..., None],
+                              w2cs[:, 0, :3, :3], precision=HIGHEST)
+
+        ray_feats = jax.vmap(index_point_feature)(volume, rays.ndc)  # [B,N,S,8]
         # the reference pairs src images (views 1..V-1) with the cams of
         # views 0..V-2 — reproduced here (see render/rays.py docstring)
-        color_feats = build_color_volume(
-            rays.pts_world, imgs0[-3:], w2cs[0, :3], intrinsics[0, :3],
-            (W, H))                                                  # [N,S,12]
+        color_feats = jax.vmap(partial(build_color_volume, img_wh=(W, H)))(
+            rays.pts_world, imgs_un[:, -3:], w2cs[:, :3],
+            intrinsics[:, :3])                                       # [B,N,S,12]
         input_feat = jnp.concatenate([ray_feats, color_feats], axis=-1)
 
-        pts_enc = positional_encoding(rays.ndc, self.multires)       # [N,S,63]
-        views = jnp.broadcast_to(viewdirs[:, None],
-                                 (*rays.ndc.shape[:2], 3))
+        pts_enc = positional_encoding(rays.ndc, self.multires)       # [B,N,S,63]
+        views = jnp.broadcast_to(viewdirs[:, :, None],
+                                 (*rays.ndc.shape[:3], 3))
         raw = NerfMLP(self.net_depth, self.net_width,
                       in_ch_pts=pts_enc.shape[-1], name="nerf")(
-            pts_enc, input_feat, views)                              # [N,S,4]
+            pts_enc, input_feat, views)                              # [B,N,S,4]
 
         dists = depth2dist(rays.z_vals, cos_angle)
         out: RenderOutput = volumetric_render(raw, rays.z_vals, dists)

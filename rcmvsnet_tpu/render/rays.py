@@ -98,14 +98,15 @@ def sample_rays(key: jax.Array, imgs: jnp.ndarray, pseudo_depth: jnp.ndarray,
 
 
 def index_point_feature(volume: jnp.ndarray, ndc: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear neural-volume lookup at ray NDC coordinates.
+    """Trilinear neural-volume lookup at ray NDC coordinates (per sample).
 
-    volume: [B, D, H, W, C]; ndc: [N, S, 3] in [0,1] ordered (x, y, z).
+    volume: [D, H, W, C]; ndc: [N, S, 3] in [0,1] ordered (x, y, z).
     Returns [N, S, C]. grid = ndc·2−1, align_corners=True, zeros padding
     (matching F.grid_sample defaults at render_utils.py:328-329).
+    vmap over a leading batch axis for multi-sample batches.
     """
     grid = ndc * 2.0 - 1.0
-    out = grid_sample_3d(volume, grid[None, ..., 0], grid[None, ..., 1],
+    out = grid_sample_3d(volume[None], grid[None, ..., 0], grid[None, ..., 1],
                          grid[None, ..., 2], padding_mode="zeros")
     return out[0]
 

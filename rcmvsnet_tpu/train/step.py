@@ -1,0 +1,157 @@
+"""The fused RC-MVSNet train step: ONE jitted function computing
+
+    L = L_photometric(clean pass)
+      + w_aug · L_aug(masked-aug pass vs detached pseudo-depth)
+      + L_rgb(rendered rays) + L_depth(rendered rays vs pseudo-depth)
+
+with a single gradient — semantically identical to the reference's three
+sub-steps sharing one zero_grad/backward/step
+(/root/reference/train_rcmvsnet.py:279-326,330-376,397-445: zero_grad only
+in step A, backward+step only in step C). Gradients flow from the render
+losses back into the backbone through the NON-detached stage-1 volume
+feature, exactly as in the reference; the pseudo-depth targets ARE detached.
+
+BN running stats update in forward order (clean pass → aug pass → render
+pass), mirroring three model.train() forwards per iteration.
+
+Data parallelism: jit over a Mesh with the batch axis sharded; XLA inserts
+the grad all-reduce (ICI) and the BN batch-stat reductions are global
+(== DDP + SyncBatchNorm).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..losses.aug import aug_loss_multi_stage, random_image_mask
+from ..losses.rays import abs_error, acc_threshold, img2mse, mse2psnr, sl1_loss
+from ..losses.supervised import abs_depth_error_metric, cas_mvsnet_loss, thres_metric
+from ..losses.unsup import unsup_loss_multi_stage
+from .state import TrainState, make_models, make_optimizer
+
+
+def make_train_step(config: Config, steps_per_epoch: int):
+    """Returns train_step(state, batch, rng, w_aug) -> (state, metrics).
+
+    batch keys (host pytree, batch-major):
+      imgs, imgs_aug, center_imgs: [B, V, H, W, 3]
+      proj_matrices: {stageK: [B, V, 2, 4, 4]}
+      depth_values: [B, Dfull]
+      depth / mask: {stageK: [B, h, w]} (supervised MONITORING only)
+      w2cs, c2ws: [B, V, 4, 4]; intrinsics: [B, V, 3, 3]; near_fars: [B, V, 2]
+    """
+    cascade, render = make_models(config)
+    tx, schedule = make_optimizer(config, steps_per_epoch)
+    dlossw = tuple(config.loss.dlossw)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        k_mask, k_rays = jax.random.split(rng)
+        imgs = batch["imgs"]
+        B, V, H, W, _ = imgs.shape
+
+        # ---- step A: clean pass + photometric self-supervision ----
+        (outputs, volume_feature), cas_mut = cascade.apply(
+            {"params": params["cascade"], "batch_stats": batch_stats["cascade"]},
+            imgs, batch["proj_matrices"], batch["depth_values"],
+            train=True, return_volume=True, mutable=["batch_stats"])
+        loss_base, unsup_scalars = unsup_loss_multi_stage(
+            outputs, batch["center_imgs"], batch["proj_matrices"], dlossw)
+        pseudo_depth = jax.lax.stop_gradient(outputs["depth"])
+
+        # ---- step B: aug pass vs pseudo-depth ----
+        imgs_aug = batch["imgs_aug"]
+        ref_masked, filter_mask = random_image_mask(
+            k_mask, imgs_aug[:, 0], (H // 3, W // 3))
+        imgs_aug = imgs_aug.at[:, 0].set(ref_masked)
+        outputs_aug, cas_mut2 = cascade.apply(
+            {"params": params["cascade"],
+             "batch_stats": cas_mut["batch_stats"]},
+            imgs_aug, batch["proj_matrices"], batch["depth_values"],
+            train=True, mutable=["batch_stats"])
+        loss_aug, aug_scalars = aug_loss_multi_stage(
+            outputs_aug, pseudo_depth, filter_mask, dlossw)
+
+        # ---- step C: rendering consistency ----
+        result, rnd_mut = render.apply(
+            {"params": params["render"], "batch_stats": batch_stats["render"]},
+            volume_feature, pseudo_depth, imgs, batch["w2cs"], batch["c2ws"],
+            batch["intrinsics"], batch["near_fars"], rng=k_rays, train=True,
+            mutable=["batch_stats"])
+        img_loss = img2mse(result.rgb, result.target_rgb)
+        ray_mask = result.rays_depth > 0
+        depth_loss = sl1_loss(result.depth, result.rays_depth, ray_mask)
+
+        w_aug = batch["w_aug"]
+        total = loss_base + w_aug * loss_aug + img_loss + depth_loss
+
+        new_stats = {"cascade": cas_mut2["batch_stats"],
+                     "render": rnd_mut["batch_stats"]}
+        metrics = {
+            "loss": total, "repr_loss": loss_base,
+            "aug_loss": w_aug * loss_aug,
+            "img_loss": img_loss, "ray_depth_loss": depth_loss,
+            "psnr": mse2psnr(img_loss),
+            "ray_abs_err": abs_error(result.depth, result.rays_depth, ray_mask),
+            "ray_acc_2mm": acc_threshold(result.depth, result.rays_depth,
+                                         ray_mask, 2.0),
+            **unsup_scalars, **aug_scalars,
+        }
+        # supervised monitoring (never in the gradient): matches the
+        # reference's thres/abs metrics (train_rcmvsnet.py:351-360)
+        if "depth" in batch and "mask" in batch:
+            num_stage = len(dlossw)
+            gt = batch["depth"][f"stage{num_stage}"]
+            mask = batch["mask"][f"stage{num_stage}"] > 0.5
+            est = jax.lax.stop_gradient(outputs["depth"])
+            metrics.update({
+                "abs_depth_error": abs_depth_error_metric(est, gt, mask),
+                "thres2mm_error": thres_metric(est, gt, mask, 2.0),
+                "thres4mm_error": thres_metric(est, gt, mask, 4.0),
+                "thres8mm_error": thres_metric(est, gt, mask, 8.0),
+            })
+        return total, (new_stats, metrics)
+
+    def train_step(state: TrainState, batch, rng):
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        metrics["lr"] = schedule(state.step)
+        return TrainState(step=state.step + 1, params=params,
+                          batch_stats=new_stats, opt_state=opt_state), metrics
+
+    return train_step
+
+
+def make_val_step(config: Config):
+    """Supervised validation step (eval-mode forward + cas_mvsnet_loss),
+    matching test_sample_depth (/root/reference/train_rcmvsnet.py:449-499)."""
+    cascade, _ = make_models(config)
+    dlossw = tuple(config.loss.dlossw)
+
+    def val_step(state: TrainState, batch):
+        outputs = cascade.apply(
+            {"params": state.params["cascade"],
+             "batch_stats": state.batch_stats["cascade"]},
+            batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+            train=False)
+        loss, depth_loss = cas_mvsnet_loss(outputs, batch["depth"],
+                                           batch["mask"], dlossw)
+        num_stage = len(dlossw)
+        gt = batch["depth"][f"stage{num_stage}"]
+        mask = batch["mask"][f"stage{num_stage}"] > 0.5
+        est = outputs["depth"]
+        return {
+            "loss": loss, "depth_loss": depth_loss,
+            "abs_depth_error": abs_depth_error_metric(est, gt, mask),
+            "thres2mm_error": thres_metric(est, gt, mask, 2.0),
+            "thres4mm_error": thres_metric(est, gt, mask, 4.0),
+            "thres8mm_error": thres_metric(est, gt, mask, 8.0),
+        }
+
+    return val_step

@@ -124,10 +124,10 @@ def test_render_net_forward():
                            rng=jax.random.PRNGKey(1), train=False)
     result = model.apply(variables, *args, rng=jax.random.PRNGKey(1),
                          train=False)
-    assert result.rgb.shape == (64, 3)
-    assert result.depth.shape == (64,)
-    assert result.target_rgb.shape == (64, 3)
-    assert result.rays_depth.shape == (64,)
+    assert result.rgb.shape == (B, 64, 3)
+    assert result.depth.shape == (B, 64)
+    assert result.target_rgb.shape == (B, 64, 3)
+    assert result.rays_depth.shape == (B, 64)
     rgb = np.asarray(result.rgb)
     assert np.isfinite(rgb).all()
     # weights are a sub-probability distribution along each ray
