@@ -1,0 +1,176 @@
+"""DTU inference + fusion driver.
+
+Phase 1 (save_depth): run the backbone per reference view, write
+depth_est/confidence PFMs, cams, images — matching the output tree of
+/root/reference/eval_rcmvsnet_dtu.py:157-277.
+Phase 2 (fusion): photometric+geometric filtering into
+mvsnet{scan:03d}_l3.ply with the reference's per-scan pixel thresholds,
+parallelized over scans with a process pool (:457-512).
+Optional phase 3: the ported DTU acc/comp benchmark if GT is available.
+
+Usage:
+  python -m rcmvsnet_tpu.cli.eval_dtu --testpath /data/dtu_test \
+      --loadckpt ckpt.msgpack --outdir ./dtu_exp [--testlist lists/dtu/test.txt]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BackboneConfig, Config
+from ..core.io import save_pfm, write_cam_file
+from ..data.dtu_test import DTUTestDataset
+from ..data.loader import DataLoader
+from ..fusion.fuse import DTU_IMG_DIST_THRESHOLDS, fuse_scan
+from ..train.checkpoint import load_backbone
+from ..train.state import make_models
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="DTU eval: depth + fusion")
+    p.add_argument("--testpath", required=True)
+    p.add_argument("--testlist", default="lists/dtu/test.txt")
+    p.add_argument("--loadckpt", required=True,
+                   help="backbone .msgpack (export_backbone) or reference "
+                        "*_cas.ckpt (torch) to convert on the fly")
+    p.add_argument("--outdir", default="./dtu_exp")
+    p.add_argument("--num_view", type=int, default=5)
+    p.add_argument("--numdepth", type=int, default=192)
+    p.add_argument("--interval_scale", type=float, default=1.06)
+    p.add_argument("--max_h", type=int, default=1200)
+    p.add_argument("--max_w", type=int, default=1600)
+    p.add_argument("--ndepths", default="48,32,8")
+    p.add_argument("--depth_inter_r", default="4,2,1")
+    p.add_argument("--cr_base_chs", default="8,8,8")
+    p.add_argument("--prob_thres", type=float, default=0.8)
+    p.add_argument("--num_consistency", type=int, default=3)
+    p.add_argument("--depth_thres", type=float, default=0.01)
+    p.add_argument("--num_worker", type=int, default=4)
+    p.add_argument("--no_test", action="store_true", help="fusion only")
+    p.add_argument("--no_filter", action="store_true", help="depth only")
+    return p.parse_args(argv)
+
+
+def build_model(args):
+    csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
+    config = Config(backbone=BackboneConfig(
+        ndepths=csv(args.ndepths, int),
+        depth_intervals_ratio=csv(args.depth_inter_r, float),
+        cr_base_chs=csv(args.cr_base_chs, int)))
+    cascade, _ = make_models(config)
+    return cascade
+
+
+def load_variables(cascade, ckpt_path, sample):
+    """Load our msgpack export or convert a reference torch checkpoint."""
+    imgs = jnp.asarray(sample["imgs"])[None]
+    projs = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                   sample["proj_matrices"])
+    dv = jnp.asarray(sample["depth_values"])[None]
+    template = jax.eval_shape(
+        lambda r: cascade.init(r, imgs, projs, dv, train=False),
+        jax.random.PRNGKey(0))
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        template)
+    if str(ckpt_path).endswith(".msgpack"):
+        return load_backbone(ckpt_path, template)
+    from ..train.convert import convert_cascade_checkpoint
+    params, stats, _ = convert_cascade_checkpoint(ckpt_path)
+    import flax.serialization
+    return {
+        "params": flax.serialization.from_state_dict(template["params"], params),
+        "batch_stats": flax.serialization.from_state_dict(
+            template["batch_stats"], stats),
+    }
+
+
+def save_depth(args, testlist):
+    outdir = Path(args.outdir)
+    cascade = build_model(args)
+    variables = None
+    forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
+        v, imgs, projs, dv, train=False))
+
+    from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
+    for scan in testlist:
+        ds = DTUTestDataset(args.testpath, [scan], nviews=args.num_view,
+                            ndepths=args.numdepth,
+                            interval_scale=args.interval_scale,
+                            max_h=args.max_h, max_w=args.max_w)
+        if variables is None:
+            variables = load_variables(cascade, args.loadckpt, ds[0])
+        for i in range(len(ds)):
+            sample = ds[i]
+            t0 = time.time()
+            outputs = forward(
+                variables, jnp.asarray(sample["imgs"])[None],
+                jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                       sample["proj_matrices"]),
+                jnp.asarray(sample["depth_values"])[None])
+            depth = np.asarray(outputs["depth"][0])
+            conf = np.asarray(outputs["photometric_confidence"][0])
+            dt = time.time() - t0
+            print(f"{scan} view {i}/{len(ds)} {dt:.3f}s res {depth.shape}")
+
+            fn = sample["filename"]
+            for sub in ["depth_est", "confidence", "cams", "images"]:
+                (outdir / fn.format(sub, "")).parent.mkdir(
+                    parents=True, exist_ok=True)
+            save_pfm(outdir / fn.format("depth_est", ".pfm"), depth)
+            save_pfm(outdir / fn.format("confidence", ".pfm"), conf)
+            cam = sample["proj_matrices"]["stage3"][0]  # ref view, full-res K
+            dvals = sample["depth_values"]
+            write_cam_file(outdir / fn.format("cams", "_cam.txt"),
+                           cam[0], cam[1, :3, :3],
+                           [dvals[0], dvals[1] - dvals[0], len(dvals),
+                            dvals[-1]])
+            import cv2
+            img = sample["imgs"][0] * IMAGENET_STD + IMAGENET_MEAN
+            cv2.imwrite(str(outdir / fn.format("images", ".jpg")),
+                        cv2.cvtColor((img.clip(0, 1) * 255).astype(np.uint8),
+                                     cv2.COLOR_RGB2BGR))
+
+
+def fuse_one(args_tuple):
+    scan, args = args_tuple
+    scan_id = int(scan[4:])
+    ply = Path(args.outdir) / f"mvsnet{scan_id:03d}_l3.ply"
+    n = fuse_scan(Path(args.outdir) / scan,
+                  Path(args.testpath) / scan / "pair.txt", ply,
+                  prob_threshold=args.prob_thres,
+                  num_consistent=args.num_consistency,
+                  img_dist_thresh=DTU_IMG_DIST_THRESHOLDS.get(scan_id, 0.5),
+                  depth_thresh=args.depth_thres)
+    print(f"fused {scan}: {n} points -> {ply}")
+    return scan, n
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if isinstance(args.testlist, str) and Path(args.testlist).exists():
+        testlist = [l.strip() for l in open(args.testlist) if l.strip()]
+    else:
+        testlist = [s for s in args.testlist.split(",") if s]
+
+    if not args.no_test:
+        save_depth(args, testlist)
+    if not args.no_filter:
+        from multiprocessing import Pool
+        work = [(scan, args) for scan in testlist]
+        if args.num_worker > 1:
+            with Pool(args.num_worker) as pool:
+                results = pool.map(fuse_one, work)
+        else:
+            results = [fuse_one(w) for w in work]
+        print(json.dumps({s: n for s, n in results}))
+
+
+if __name__ == "__main__":
+    main()

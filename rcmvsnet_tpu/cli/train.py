@@ -1,0 +1,164 @@
+"""Training driver: unsupervised RC-MVSNet on DTU, data-parallel over the
+device mesh.
+
+Replaces /root/reference/train_rcmvsnet.py (mp.spawn/DDP loop) with one
+process jitting the fused train step over a jax.sharding Mesh. Per-epoch:
+checkpoint both artifacts, run the supervised validation loop.
+
+Usage:
+  python -m rcmvsnet_tpu.cli.train --trainpath /data/dtu \
+      --logdir ./rc-mvsnet [--epochs 15] [--batch_size 1] [--resume]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BackboneConfig, Config, DataConfig, LossConfig, RenderConfig, RunConfig
+from ..data.dtu_train import DTUTrainDataset
+from ..data.dtu_val import DTUValDataset
+from ..data.loader import DataLoader
+from ..losses.aug import adjust_w_aug
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .. import train as T
+from ..train.checkpoint import restore_checkpoint, save_checkpoint
+from ..train.logging import DictAverageMeter, MetricLogger
+from ..train.state import create_train_state
+from ..train.step import make_train_step, make_val_step
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native RC-MVSNet training")
+    p.add_argument("--trainpath", required=True)
+    p.add_argument("--testpath", default=None)
+    p.add_argument("--trainlist", default="lists/dtu/train.txt")
+    p.add_argument("--testlist", default="lists/dtu/test.txt")
+    p.add_argument("--logdir", default="./rc-mvsnet")
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="per-device batch size")
+    p.add_argument("--num_view", type=int, default=3)
+    p.add_argument("--numdepth", type=int, default=192)
+    p.add_argument("--interval_scale", type=float, default=1.06)
+    p.add_argument("--ndepths", default="48,32,8")
+    p.add_argument("--depth_inter_r", default="4,2,1")
+    p.add_argument("--dlossw", default="0.5,1.0,2.0")
+    p.add_argument("--cr_base_chs", default="8,8,8")
+    p.add_argument("--w_aug", type=float, default=0.01)
+    p.add_argument("--n_rays", type=int, default=1024)
+    p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--random_seed", type=int, default=1)
+    p.add_argument("--summary_freq", type=int, default=10)
+    p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="cap steps/epoch (debug/smoke runs)")
+    return p.parse_args(argv)
+
+
+def config_from_args(a) -> Config:
+    csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
+    return Config(
+        backbone=BackboneConfig(ndepths=csv(a.ndepths, int),
+                                depth_intervals_ratio=csv(a.depth_inter_r, float),
+                                cr_base_chs=csv(a.cr_base_chs, int)),
+        render=RenderConfig(n_rays=a.n_rays, n_samples=a.n_samples),
+        loss=LossConfig(dlossw=csv(a.dlossw, float), w_aug=a.w_aug),
+        data=DataConfig(datapath=a.trainpath, train_list=a.trainlist,
+                        test_list=a.testlist, num_views=a.num_view + 1,
+                        numdepth=a.numdepth, interval_scale=a.interval_scale),
+        run=RunConfig(epochs=a.epochs, lr=a.lr, batch_size=a.batch_size,
+                      seed=a.random_seed, logdir=a.logdir,
+                      summary_freq=a.summary_freq, n_devices=a.n_devices))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = config_from_args(args)
+
+    mesh = make_mesh(config.run.n_devices)
+    n_dev = mesh.devices.size
+    global_batch = config.run.batch_size * n_dev
+    print(f"mesh: {n_dev} devices, global batch {global_batch}")
+
+    train_ds = DTUTrainDataset(args.trainpath, args.trainlist,
+                               nviews=config.data.num_views,
+                               ndepths=config.data.numdepth,
+                               interval_scale=config.data.interval_scale,
+                               seed=config.run.seed)
+    val_ds = DTUValDataset(args.testpath or args.trainpath, args.testlist,
+                           nviews=config.data.eval_num_views,
+                           ndepths=config.data.numdepth,
+                           interval_scale=config.data.interval_scale)
+    train_loader = DataLoader(train_ds, global_batch, shuffle=True,
+                              seed=config.run.seed)
+    val_loader = DataLoader(val_ds, global_batch, shuffle=False,
+                            drop_last=False)
+    steps_per_epoch = len(train_loader)
+    if args.max_steps:
+        steps_per_epoch = min(steps_per_epoch, args.max_steps)
+
+    rng = jax.random.PRNGKey(config.run.seed)
+    rng, init_rng = jax.random.split(rng)
+    sample = next(iter(DataLoader(train_ds, global_batch, shuffle=False)))
+    state = create_train_state(config, sample, steps_per_epoch, init_rng)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = restore_checkpoint(config.run.logdir, state)
+        print(f"resumed at epoch {start_epoch}")
+
+    train_step = jax.jit(make_train_step(config, steps_per_epoch))
+    val_step = jax.jit(make_val_step(config))
+    logger = MetricLogger(config.run.logdir)
+
+    with mesh:
+        state = replicate(state, mesh)
+        for epoch in range(start_epoch, config.run.epochs):
+            train_loader.set_epoch(epoch)
+            w_aug = adjust_w_aug(epoch, config.loss.w_aug)
+            meter = DictAverageMeter()
+            for step_idx, batch in enumerate(train_loader):
+                if args.max_steps and step_idx >= args.max_steps:
+                    break
+                t0 = time.time()
+                batch["w_aug"] = np.asarray(w_aug, np.float32)
+                hbatch = {k: v for k, v in batch.items() if k != "w_aug"}
+                sharded = shard_batch(hbatch, mesh)
+                sharded["w_aug"] = jnp.asarray(batch["w_aug"])
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, sharded, step_rng)
+                gstep = int(state.step)
+                if gstep % config.run.summary_freq == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["step_time"] = time.time() - t0
+                    logger.log("train", host, gstep)
+                    meter.update(host)
+                    print(f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
+                          f"loss {host['loss']:.3f} "
+                          f"time {host['step_time']:.2f}s")
+            logger.log("fulltrain", meter.mean(), int(state.step))
+
+            host_state = jax.device_get(state)
+            save_checkpoint(config.run.logdir, host_state, epoch)
+
+            # supervised validation (monitoring only)
+            vmeter = DictAverageMeter()
+            for vi, batch in enumerate(val_loader):
+                if args.max_steps and vi >= args.max_steps:
+                    break
+                sharded = shard_batch(batch, mesh)
+                vmetrics = val_step(state, sharded)
+                vmeter.update({k: float(v) for k, v in vmetrics.items()})
+            logger.log("fulltest", vmeter.mean(), int(state.step))
+            print(f"epoch {epoch} val: {vmeter.mean()}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""DTU accuracy/completeness benchmark — Python port of the official MATLAB
+suite so the full acc/comp metric runs without MATLAB.
+
+Parity targets (/root/reference/matlab_eval/):
+  * reducePts_haa.m        — stochastic 0.2 mm thinning via KD-tree
+  * MaxDistCP.m            — nearest-neighbor distances capped at 60 mm
+  * PointCompareMain.m     — ObsMask (data) + ground-plane (stl) filtering
+  * ComputeStat_web_pt.m   — per-scan means with a 20 mm outlier cut
+  * compute_mean.m         — acc = mean(MeanData) [data→stl],
+                             comp = mean(MeanStl) [stl→data],
+                             overall = (acc + comp)/2
+  * GetUsedSets.m          — the 22 evaluation scans
+
+The KD-tree is scipy's cKDTree by default; the optional C++ extension
+(rcmvsnet_tpu/native) provides the same queries with multithreading.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+DTU_EVAL_SETS = [1, 4, 9, 10, 11, 12, 13, 15, 23, 24, 29, 32, 33, 34, 48,
+                 49, 62, 75, 77, 110, 114, 118]
+
+
+def reduce_points(pts: np.ndarray, dst: float = 0.2,
+                  seed: Optional[int] = None) -> np.ndarray:
+    """Stochastic thinning: visit points in random order; keep a point iff
+    it hasn't been suppressed, then suppress all neighbors within dst.
+    pts: [N, 3]. Matches reducePts_haa.m.
+    """
+    from scipy.spatial import cKDTree
+    n = pts.shape[0]
+    keep = np.ones(n, bool)
+    order = (np.random.RandomState(seed).permutation(n) if seed is not None
+             else np.random.permutation(n))
+    tree = cKDTree(pts)
+    neighbors = tree.query_ball_point(pts[order], dst, workers=-1)
+    for i, idx in enumerate(neighbors):
+        pid = order[i]
+        if keep[pid]:
+            keep[idx] = False
+            keep[pid] = True
+    return pts[keep]
+
+
+def nn_distances(query: np.ndarray, ref: np.ndarray,
+                 max_dist: float = 60.0) -> np.ndarray:
+    """Distance from each query point to its nearest ref point, capped at
+    max_dist (MaxDistCP.m semantics: out-of-range → max_dist)."""
+    from scipy.spatial import cKDTree
+    tree = cKDTree(ref)
+    d, _ = tree.query(query, k=1, distance_upper_bound=max_dist, workers=-1)
+    d[~np.isfinite(d)] = max_dist
+    return d.astype(np.float32)
+
+
+def dtu_point_compare(data_pts: np.ndarray, stl_pts: np.ndarray,
+                      obs_mask: Optional[np.ndarray] = None,
+                      bb: Optional[np.ndarray] = None,
+                      res: float = 1.0,
+                      ground_plane: Optional[np.ndarray] = None,
+                      dst: float = 0.2, max_dist: float = 60.0,
+                      outlier_dist: float = 20.0, seed: int = 0) -> dict:
+    """Single-scan acc/comp following PointCompareMain + ComputeStat.
+
+    data_pts: [N, 3] reconstructed cloud; stl_pts: [M, 3] GT (assumed
+    pre-thinned like the official stl files). obs_mask/bb/res/ground_plane
+    come from the DTU ObsMask*.mat / Plane*.mat files (pass None to skip
+    the corresponding filtering — useful for synthetic tests).
+    """
+    data_pts = reduce_points(np.asarray(data_pts, np.float64), dst, seed)
+    stl_pts = np.asarray(stl_pts, np.float64)
+
+    d_data = nn_distances(data_pts, stl_pts, max_dist)   # data→stl (acc)
+    d_stl = nn_distances(stl_pts, data_pts, max_dist)    # stl→data (comp)
+
+    if obs_mask is not None and bb is not None:
+        qv = np.round((data_pts - bb[0][None]) / res + 1).astype(int)
+        in_range = ((qv > 0) & (qv <= np.array(obs_mask.shape)[None])).all(1)
+        data_in_mask = np.zeros(len(data_pts), bool)
+        sel = qv[in_range] - 1
+        data_in_mask[in_range] = obs_mask[sel[:, 0], sel[:, 1], sel[:, 2]] > 0
+    else:
+        data_in_mask = np.ones(len(data_pts), bool)
+
+    if ground_plane is not None:
+        hom = np.concatenate([stl_pts, np.ones((len(stl_pts), 1))], axis=1)
+        stl_above = (hom @ np.asarray(ground_plane).reshape(4)) > 0
+    else:
+        stl_above = np.ones(len(stl_pts), bool)
+
+    d_data_sel = d_data[data_in_mask]
+    d_data_sel = d_data_sel[d_data_sel < outlier_dist]
+    d_stl_sel = d_stl[stl_above]
+    d_stl_sel = d_stl_sel[d_stl_sel < outlier_dist]
+
+    return {
+        "acc_mean": float(np.mean(d_data_sel)) if len(d_data_sel) else float("nan"),
+        "acc_median": float(np.median(d_data_sel)) if len(d_data_sel) else float("nan"),
+        "comp_mean": float(np.mean(d_stl_sel)) if len(d_stl_sel) else float("nan"),
+        "comp_median": float(np.median(d_stl_sel)) if len(d_stl_sel) else float("nan"),
+        "n_data": int(len(d_data_sel)), "n_stl": int(len(d_stl_sel)),
+    }
+
+
+def load_obs_mask(mat_path):
+    """Load ObsMask{set}_10.mat → (obs_mask, bb, res); Plane{set}.mat → P."""
+    from scipy.io import loadmat
+    m = loadmat(str(mat_path))
+    return m["ObsMask"], m["BB"], float(np.asarray(m["Res"]).reshape(-1)[0])
+
+
+def dtu_eval_scans(ply_dir, gt_dir, sets=None, method="mvsnet",
+                   light="l3") -> dict:
+    """Full-protocol evaluation over the 22 DTU test scans.
+
+    ply_dir holds {method}{set:03d}_{light}.ply files (our fusion output);
+    gt_dir is the official SampleSet/MVS_Data directory (Points/stl +
+    ObsMask). Returns per-scan stats + acc/comp/overall summary.
+    """
+    from scipy.io import loadmat
+    from ..core.io import load_ply
+    sets = sets or DTU_EVAL_SETS
+    ply_dir, gt_dir = Path(ply_dir), Path(gt_dir)
+    per_scan = {}
+    for cset in sets:
+        data_pts, _ = load_ply(ply_dir / f"{method}{cset:03d}_{light}.ply")
+        stl_pts, _ = load_ply(gt_dir / "Points" / "stl" /
+                              f"stl{cset:03d}_total.ply")
+        obs = loadmat(str(gt_dir / "ObsMask" / f"ObsMask{cset}_10.mat"))
+        plane = loadmat(str(gt_dir / "ObsMask" / f"Plane{cset}.mat"))["P"]
+        per_scan[cset] = dtu_point_compare(
+            data_pts, stl_pts, obs["ObsMask"], np.asarray(obs["BB"]),
+            float(np.asarray(obs["Res"]).reshape(-1)[0]), plane)
+    acc = float(np.mean([s["acc_mean"] for s in per_scan.values()]))
+    comp = float(np.mean([s["comp_mean"] for s in per_scan.values()]))
+    return {"per_scan": per_scan, "acc": acc, "comp": comp,
+            "overall": (acc + comp) / 2}
