@@ -24,11 +24,13 @@ WARMUP, ITERS = 2, 10
 
 
 def main():
-    from rcmvsnet_tpu.config import Config
+    from rcmvsnet_tpu.config import BackboneConfig, Config
     from rcmvsnet_tpu.data.synthetic import make_synthetic_batch
     from rcmvsnet_tpu.train.state import make_models
 
-    config = Config()
+    on_tpu = jax.default_backend() == "tpu"
+    config = Config(backbone=BackboneConfig(
+        pallas_warp_max_bytes=9 * 1024 * 1024 if on_tpu else 0))
     cascade, _ = make_models(config)
 
     batch = make_synthetic_batch(B=1, V=VIEWS, H=H, W=W, ndepth=NDEPTH, seed=0)

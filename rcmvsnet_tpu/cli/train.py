@@ -25,7 +25,6 @@ from ..data.dtu_val import DTUValDataset
 from ..data.loader import DataLoader
 from ..losses.aug import adjust_w_aug
 from ..parallel.mesh import make_mesh, replicate, shard_batch
-from .. import train as T
 from ..train.checkpoint import restore_checkpoint, save_checkpoint
 from ..train.logging import DictAverageMeter, MetricLogger
 from ..train.state import create_train_state

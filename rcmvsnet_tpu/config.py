@@ -15,6 +15,9 @@ class BackboneConfig:
     cr_base_chs: Tuple[int, ...] = (8, 8, 8)
     base_channels: int = 8
     grad_detach: bool = True
+    # eval fast path: max bf16 source-feature bytes held in VMEM by the
+    # Pallas warp kernel; 0 disables (CPU/tests). 9 MB covers DTU stages 1-2.
+    pallas_warp_max_bytes: int = 0
 
 
 @dataclass(frozen=True)

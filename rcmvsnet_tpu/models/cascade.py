@@ -72,6 +72,7 @@ def photometric_confidence(prob_volume: jnp.ndarray) -> jnp.ndarray:
 class _DepthStage(nn.Module):
     """One cascade stage: cost volume → regularize → soft-argmax."""
     base_channels: int = 8
+    use_pallas_warp: bool = False
 
     @nn.compact
     def __call__(self, features, projs, depth_values, imgs_stage=None,
@@ -89,8 +90,13 @@ class _DepthStage(nn.Module):
         ref_proj = projs[:, 0]
         src_projs = [projs[:, i] for i in range(1, V)]
 
-        variance, _ = plane_sweep_variance(
-            ref_feat, src_feats, src_projs, ref_proj, depth_values)
+        if self.use_pallas_warp and not train:
+            from ..ops.pallas_warp import plane_sweep_variance_fast
+            variance = plane_sweep_variance_fast(
+                ref_feat, src_feats, src_projs, ref_proj, depth_values)
+        else:
+            variance, _ = plane_sweep_variance(
+                ref_feat, src_feats, src_projs, ref_proj, depth_values)
 
         extras = {}
         if want_volume:
@@ -116,6 +122,9 @@ class CascadeMVSNet(nn.Module):
     cr_base_chs: Sequence[int] = (8, 8, 8)
     base_channels: int = 8
     grad_detach: bool = True  # grad_method='detach'
+    # TPU eval fast path: Pallas hat-matmul warp (ops/pallas_warp.py) for
+    # stages whose bf16 source feature map fits VMEM. 0 disables.
+    pallas_warp_max_bytes: int = 0
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False,
@@ -172,8 +181,11 @@ class CascadeMVSNet(nn.Module):
                     imgs.reshape(B * V, H, W, 3), h, w,
                     align_corners=False).reshape(B, V, h, w, 3)
 
+            src_bytes = h * w * Cs * 2  # bf16 VMEM residency requirement
+            use_pallas = (0 < src_bytes <= self.pallas_warp_max_bytes)
             stage_out = _DepthStage(
-                self.cr_base_chs[stage_idx], name=f"stage{stage_idx + 1}")(
+                self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
+                name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train, want_volume)
 
             depth = stage_out["depth"]

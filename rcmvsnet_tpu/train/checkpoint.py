@@ -22,7 +22,9 @@ _CAS_RE = re.compile(r"model_(\d+)_cas\.msgpack$")
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Host numpy + state-dict form (msgpack can't serialize tuples)."""
+    return flax.serialization.to_state_dict(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), tree))
 
 
 def save_checkpoint(logdir: str, state: TrainState, epoch: int) -> None:

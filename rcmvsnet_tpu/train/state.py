@@ -30,7 +30,8 @@ def make_models(config: Config):
         depth_intervals_ratio=tuple(config.backbone.depth_intervals_ratio),
         cr_base_chs=tuple(config.backbone.cr_base_chs),
         base_channels=config.backbone.base_channels,
-        grad_detach=config.backbone.grad_detach)
+        grad_detach=config.backbone.grad_detach,
+        pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
         n_samples=config.render.n_samples,

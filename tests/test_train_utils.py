@@ -1,0 +1,102 @@
+"""Schedule parity vs torch's WarmupMultiStepLR, loader semantics,
+checkpoint roundtrip."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rcmvsnet_tpu.train.schedule import warmup_multistep_schedule
+
+
+def test_warmup_multistep_matches_torch():
+    import torch
+    from bisect import bisect_right
+
+    base_lr, milestones, gamma = 1e-4, [100, 200, 300], 0.5
+    wf, wi = 1.0 / 3, 50
+    sched = warmup_multistep_schedule(base_lr, milestones, gamma, wf, wi)
+
+    # literal reimplementation of utils.py:245-260 get_lr
+    def torch_lr(step):
+        warmup = 1.0
+        if step < wi:
+            alpha = step / wi
+            warmup = wf * (1 - alpha) + alpha
+        return base_lr * warmup * gamma ** bisect_right(milestones, step)
+
+    for step in [0, 1, 25, 49, 50, 51, 99, 100, 101, 199, 200, 250, 299,
+                 300, 500]:
+        np.testing.assert_allclose(float(sched(step)), torch_lr(step),
+                                   rtol=1e-6, err_msg=f"step {step}")
+
+
+def test_loader_batching_and_sharding():
+    from rcmvsnet_tpu.data.loader import DataLoader, epoch_indices
+
+    class DS:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32), "name": f"s{i}"}
+
+    loader = DataLoader(DS(), batch_size=4, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 5  # drop_last
+    assert batches[0]["x"].shape == (4, 2)
+    assert isinstance(batches[0]["name"], list)
+
+    # shuffled differently per epoch, deterministic per seed
+    a = epoch_indices(23, 0, True, 0)
+    b = epoch_indices(23, 1, True, 0)
+    assert not np.array_equal(a, b)
+    np.testing.assert_array_equal(a, epoch_indices(23, 0, True, 0))
+
+    # process shards partition the index set
+    shards = [epoch_indices(24, 0, True, 0, p, 4) for p in range(4)]
+    allidx = np.concatenate(shards)
+    assert len(allidx) == 24
+    assert set(allidx.tolist()) == set(range(24))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import flax.struct
+    from rcmvsnet_tpu.train.checkpoint import (latest_epoch,
+                                               restore_checkpoint,
+                                               save_checkpoint)
+
+    class S(flax.struct.PyTreeNode):
+        step: jnp.ndarray
+        params: dict
+        batch_stats: dict
+        opt_state: tuple
+
+    rs = np.random.RandomState(0)
+    state = S(jnp.asarray(42),
+              {"cascade": {"w": jnp.asarray(rs.randn(3, 4), jnp.float32)},
+               "render": {"v": jnp.asarray(rs.randn(2), jnp.float32)}},
+              {"cascade": {"m": jnp.zeros(4)}, "render": {}},
+              (jnp.asarray(1.0),))
+    save_checkpoint(tmp_path, state, epoch=3)
+    save_checkpoint(tmp_path, state, epoch=5)
+    assert latest_epoch(tmp_path) == 5
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, start = restore_checkpoint(tmp_path, zero)
+    assert start == 6
+    assert int(restored.step) == 42
+    np.testing.assert_array_equal(np.asarray(restored.params["cascade"]["w"]),
+                                  np.asarray(state.params["cascade"]["w"]))
+    np.testing.assert_array_equal(np.asarray(restored.params["render"]["v"]),
+                                  np.asarray(state.params["render"]["v"]))
+
+
+def test_adjust_w_aug_schedule():
+    from rcmvsnet_tpu.losses.aug import adjust_w_aug
+    # matches train_rcmvsnet.py:379-394
+    assert adjust_w_aug(0, 0.01) == 0.01
+    assert adjust_w_aug(1, 0.01) == 0.02
+    assert adjust_w_aug(3, 0.01) == 0.04
+    assert adjust_w_aug(5, 0.01) == 0.08
+    assert adjust_w_aug(7, 0.01) == 0.16
+    assert adjust_w_aug(9, 0.01) == 0.32
+    assert adjust_w_aug(14, 0.01) == 0.32
