@@ -30,7 +30,8 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     config = Config(backbone=BackboneConfig(
-        pallas_warp_max_bytes=9 * 1024 * 1024 if on_tpu else 0))
+        pallas_warp_max_bytes=17 * 1024 * 1024 if on_tpu else 0,
+        eval_dtype="bfloat16" if on_tpu else None))
     cascade, _ = make_models(config)
 
     batch = make_synthetic_batch(B=1, V=VIEWS, H=H, W=W, ndepth=NDEPTH, seed=0)

@@ -54,17 +54,37 @@ def parse_args(argv=None):
     p.add_argument("--num_worker", type=int, default=4)
     p.add_argument("--no_test", action="store_true", help="fusion only")
     p.add_argument("--no_filter", action="store_true", help="depth only")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="disable the Pallas warp fast path")
     return p.parse_args(argv)
 
 
-def build_model(args):
+def build_model(args, pallas_warp_max_bytes: int = 0):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
     config = Config(backbone=BackboneConfig(
         ndepths=csv(args.ndepths, int),
         depth_intervals_ratio=csv(args.depth_inter_r, float),
-        cr_base_chs=csv(args.cr_base_chs, int)))
+        cr_base_chs=csv(args.cr_base_chs, int),
+        pallas_warp_max_bytes=pallas_warp_max_bytes))
     cascade, _ = make_models(config)
     return cascade
+
+
+def pick_fast_path(args, sample) -> int:
+    """Enable the Pallas warp when on TPU, not disabled, and the scan's
+    geometry satisfies the kernel's band-coverage precondition
+    (ops/pallas_warp.check_band_coverage). Returns pallas_warp_max_bytes."""
+    if getattr(args, "no_pallas", False) or jax.default_backend() != "tpu":
+        return 0
+    from ..ops.pallas_warp import check_band_coverage
+    H, W = sample["imgs"].shape[1:3]
+    ok = True
+    for stage, scale in [("stage1", 4), ("stage2", 2), ("stage3", 1)]:
+        ok = ok and check_band_coverage(
+            sample["proj_matrices"][stage][None],
+            sample["depth_values"][None], H // scale, W // scale)
+    print(f"pallas fast path: {'ON' if ok else 'off (band coverage)'}")
+    return 17 * 1024 * 1024 if ok else 0
 
 
 def load_variables(cascade, ckpt_path, sample):
@@ -93,10 +113,9 @@ def load_variables(cascade, ckpt_path, sample):
 
 def save_depth(args, testlist):
     outdir = Path(args.outdir)
-    cascade = build_model(args)
+    cascade = None
     variables = None
-    forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
-        v, imgs, projs, dv, train=False))
+    forward = None
 
     from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
     for scan in testlist:
@@ -104,7 +123,10 @@ def save_depth(args, testlist):
                             ndepths=args.numdepth,
                             interval_scale=args.interval_scale,
                             max_h=args.max_h, max_w=args.max_w)
-        if variables is None:
+        if cascade is None:
+            cascade = build_model(args, pick_fast_path(args, ds[0]))
+            forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
+                v, imgs, projs, dv, train=False))
             variables = load_variables(cascade, args.loadckpt, ds[0])
         for i in range(len(ds)):
             sample = ds[i]

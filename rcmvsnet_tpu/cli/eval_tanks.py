@@ -21,7 +21,7 @@ import numpy as np
 from ..core.io import save_pfm, write_cam_file
 from ..data.tanks import ADVANCED_SCANS, INTERMEDIATE_SCANS, TanksDataset
 from ..fusion.fuse import fuse_scan
-from .eval_dtu import build_model, load_variables
+from .eval_dtu import build_model, load_variables, pick_fast_path
 
 # per-scene fusion hyperparameters (eval_rcmvsnet_tanks.py:408-440,466-491)
 PHOTO_THRESHOLD = {
@@ -77,11 +77,11 @@ def main(argv=None):
              else ADVANCED_SCANS)
 
     if not args.no_test:
-        cascade = build_model(args)
-        forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
-            v, imgs, projs, dv, train=False))
         ds = TanksDataset(args.testpath, args.split, nviews=args.num_view,
                           img_wh=img_wh, ndepths=args.numdepth)
+        cascade = build_model(args, pick_fast_path(args, ds[0]))
+        forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
+            v, imgs, projs, dv, train=False))
         variables = load_variables(cascade, args.loadckpt, ds[0])
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
         import cv2

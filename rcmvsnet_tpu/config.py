@@ -16,8 +16,10 @@ class BackboneConfig:
     base_channels: int = 8
     grad_detach: bool = True
     # eval fast path: max bf16 source-feature bytes held in VMEM by the
-    # Pallas warp kernel; 0 disables (CPU/tests). 9 MB covers DTU stages 1-2.
+    # Pallas warp kernel; 0 disables (CPU/tests). 17 MB covers all 3 DTU stages.
     pallas_warp_max_bytes: int = 0
+    # eval conv compute dtype ('bfloat16' for TPU speed); None = float32
+    eval_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

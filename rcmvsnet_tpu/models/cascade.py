@@ -110,7 +110,7 @@ class _DepthStage(nn.Module):
                 warped_imgs + [var_no_ref], axis=-1)
 
         cost = CostRegNet(self.base_channels, name="cost_reg")(variance, train)
-        prob_volume = jax.nn.softmax(cost[..., 0], axis=1)  # [B, D, h, w]
+        prob_volume = jax.nn.softmax(cost[..., 0].astype(jnp.float32), axis=1)
         depth = depth_regression(prob_volume, depth_values)
         conf = photometric_confidence(prob_volume)
         return {"depth": depth, "photometric_confidence": conf, **extras}
@@ -125,6 +125,10 @@ class CascadeMVSNet(nn.Module):
     # TPU eval fast path: Pallas hat-matmul warp (ops/pallas_warp.py) for
     # stages whose bf16 source feature map fits VMEM. 0 disables.
     pallas_warp_max_bytes: int = 0
+    # eval compute dtype for the conv stacks ('bfloat16' halves conv time
+    # and warp bytes; camera geometry, softmax and depth regression stay
+    # f32). None keeps float32.
+    eval_dtype: str | None = None
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False,
@@ -143,6 +147,8 @@ class CascadeMVSNet(nn.Module):
         d_max = depth_values[:, -1]
         depth_interval = (d_max - d_min) / depth_values.shape[1]  # [B]
 
+        if self.eval_dtype is not None and not train:
+            imgs = imgs.astype(self.eval_dtype)
         feats_flat = FeatureNet(self.base_channels, num_stage, name="feature")(
             imgs.reshape(B * V, H, W, 3), train)
 

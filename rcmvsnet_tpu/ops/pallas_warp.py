@@ -108,8 +108,16 @@ def warp_volume_pallas(src_feat: jnp.ndarray, px: jnp.ndarray,
         out_specs=pl.BlockSpec((1, C, ROWS_PER_STEP, W),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        # f32 output unconditionally: Mosaic rejects the strided bf16 store,
+        # and the variance accumulation downstream is f32 anyway
         out_shape=jax.ShapeDtypeStruct((n_steps, C, ROWS_PER_STEP, W),
-                                       src_feat.dtype),
+                                       jnp.float32),
+        # default scoped-vmem limit is 16MB; the resident source map plus
+        # pipeline buffers need more at full-resolution stages (v5e has
+        # 128MB physical VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=src2d.size * src2d.dtype.itemsize
+            + 24 * 1024 * 1024),
     )(src2d, px2, py2)
     # [steps, C, R, W] → [D, h, C, W]
     out = out.reshape(D, hh // ROWS_PER_STEP, C, ROWS_PER_STEP, W)

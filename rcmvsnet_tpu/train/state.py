@@ -31,7 +31,8 @@ def make_models(config: Config):
         cr_base_chs=tuple(config.backbone.cr_base_chs),
         base_channels=config.backbone.base_channels,
         grad_detach=config.backbone.grad_detach,
-        pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes)
+        pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes,
+        eval_dtype=config.backbone.eval_dtype)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
         n_samples=config.render.n_samples,
