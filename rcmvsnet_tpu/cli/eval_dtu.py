@@ -59,6 +59,14 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _save_rainbow(path, arr, vmin, vmax):
+    """JET-colormapped visualization jpg (rainbow-equivalent)."""
+    import cv2
+    norm = np.clip((arr - vmin) / max(vmax - vmin, 1e-8), 0, 1)
+    img = cv2.applyColorMap((norm * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    cv2.imwrite(str(path), img)
+
+
 def build_model(args, pallas_warp_max_bytes: int = 0):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
     config = Config(backbone=BackboneConfig(
@@ -142,11 +150,20 @@ def save_depth(args, testlist):
             print(f"{scan} view {i}/{len(ds)} {dt:.3f}s res {depth.shape}")
 
             fn = sample["filename"]
-            for sub in ["depth_est", "confidence", "cams", "images"]:
+            for sub in ["depth_est", "confidence", "cams", "images",
+                        "depth_map", "confidence_map"]:
                 (outdir / fn.format(sub, "")).parent.mkdir(
                     parents=True, exist_ok=True)
             save_pfm(outdir / fn.format("depth_est", ".pfm"), depth)
             save_pfm(outdir / fn.format("confidence", ".pfm"), conf)
+            # rainbow visualizations (reference: plt.imsave cmap='rainbow',
+            # eval_rcmvsnet_dtu.py:242-248)
+            import cv2
+            dvals = sample["depth_values"]
+            _save_rainbow(outdir / fn.format("depth_map", ".jpg"), depth,
+                          dvals[0], dvals[-1])
+            _save_rainbow(outdir / fn.format("confidence_map", ".jpg"),
+                          conf, conf.min(), conf.max())
             cam = sample["proj_matrices"]["stage3"][0]  # ref view, full-res K
             dvals = sample["depth_values"]
             write_cam_file(outdir / fn.format("cams", "_cam.txt"),

@@ -86,15 +86,30 @@ def main(argv=None):
     global_batch = config.run.batch_size * n_dev
     print(f"mesh: {n_dev} devices, global batch {global_batch}")
 
-    train_ds = DTUTrainDataset(args.trainpath, args.trainlist,
-                               nviews=config.data.num_views,
+    if args.trainpath == "synthetic":
+        # smoke-test mode: textured-plane scenes, no DTU on disk
+        from ..data.synthetic_dataset import SyntheticDataset
+        config = config.replace(render=dataclasses.replace(
+            config.render, n_rays=min(config.render.n_rays, 128),
+            n_samples=min(config.render.n_samples, 32), num_planes=32))
+        train_ds = SyntheticDataset(n_samples=8 * global_batch,
+                                    nviews=config.data.num_views,
+                                    ndepths=config.data.numdepth,
+                                    seed=config.run.seed)
+        val_ds = SyntheticDataset(n_samples=2 * global_batch,
+                                  nviews=config.data.num_views,
+                                  ndepths=config.data.numdepth,
+                                  seed=config.run.seed + 1000)
+    else:
+        train_ds = DTUTrainDataset(args.trainpath, args.trainlist,
+                                   nviews=config.data.num_views,
+                                   ndepths=config.data.numdepth,
+                                   interval_scale=config.data.interval_scale,
+                                   seed=config.run.seed)
+        val_ds = DTUValDataset(args.testpath or args.trainpath, args.testlist,
+                               nviews=config.data.eval_num_views,
                                ndepths=config.data.numdepth,
-                               interval_scale=config.data.interval_scale,
-                               seed=config.run.seed)
-    val_ds = DTUValDataset(args.testpath or args.trainpath, args.testlist,
-                           nviews=config.data.eval_num_views,
-                           ndepths=config.data.numdepth,
-                           interval_scale=config.data.interval_scale)
+                               interval_scale=config.data.interval_scale)
     train_loader = DataLoader(train_ds, global_batch, shuffle=True,
                               seed=config.run.seed)
     val_loader = DataLoader(val_ds, global_batch, shuffle=False,

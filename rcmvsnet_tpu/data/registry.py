@@ -9,6 +9,7 @@ _ALIASES = {
     "dtu_yao": ("rcmvsnet_tpu.data.dtu_val", "DTUValDataset"),
     "dtu_test": ("rcmvsnet_tpu.data.dtu_test", "DTUTestDataset"),
     "tanks": ("rcmvsnet_tpu.data.tanks", "TanksDataset"),
+    "synthetic": ("rcmvsnet_tpu.data.synthetic_dataset", "SyntheticDataset"),
 }
 
 

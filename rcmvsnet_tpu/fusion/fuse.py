@@ -62,7 +62,8 @@ def reproject_with_depth(depth_ref, intr_ref, extr_ref,
                   np.vstack((xyz_src2, np.ones_like(x_ref))))[:3]
     depth_reproj = xyz_reproj[2].reshape(height, width).astype(np.float32)
     k_xyz_reproj = intr_ref @ xyz_reproj
-    xy_reproj = k_xyz_reproj[:2] / k_xyz_reproj[2:3]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xy_reproj = k_xyz_reproj[:2] / k_xyz_reproj[2:3]
     x_reproj = xy_reproj[0].reshape(height, width).astype(np.float32)
     y_reproj = xy_reproj[1].reshape(height, width).astype(np.float32)
     return depth_reproj, x_reproj, y_reproj, x_src, y_src
@@ -151,6 +152,7 @@ def fuse_scan(scan_dir, pair_file, ply_out, prob_threshold=0.8,
         colors.append((col * 255).astype(np.uint8))
 
         if save_masks:
+            import cv2
             from PIL import Image
             mask_dir = scan_dir / "mask"
             mask_dir.mkdir(exist_ok=True)
@@ -158,6 +160,15 @@ def fuse_scan(scan_dir, pair_file, ply_out, prob_threshold=0.8,
                             ("final", final_mask)]:
                 Image.fromarray((m.astype(np.uint8)) * 255).save(
                     mask_dir / f"{ref_view:08d}_{name}.png")
+            # filtered-depth visualization (eval_rcmvsnet_dtu.py:399-401)
+            fd_dir = scan_dir / "filtered_depth"
+            fd_dir.mkdir(exist_ok=True)
+            fd = ref_depth * final_mask.astype(np.float32)
+            rng = max(fd.max() - fd.min(), 1e-8)
+            cv2.imwrite(str(fd_dir / f"{ref_view:08d}.jpg"),
+                        cv2.applyColorMap(
+                            ((fd - fd.min()) / rng * 255).astype(np.uint8),
+                            cv2.COLORMAP_JET))
 
     xyz = np.concatenate(vertices, axis=0)
     rgb = np.concatenate(colors, axis=0)

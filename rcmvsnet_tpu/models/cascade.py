@@ -129,6 +129,9 @@ class CascadeMVSNet(nn.Module):
     # and warp bytes; camera geometry, softmax and depth regression stay
     # f32). None keeps float32.
     eval_dtype: str | None = None
+    # residual depth refinement head (reference RefineNet — dead code there
+    # with refine=False everywhere; functional here)
+    refine: bool = False
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False,
@@ -202,6 +205,10 @@ class CascadeMVSNet(nn.Module):
         outputs["depth"] = outputs[f"stage{num_stage}"]["depth"]
         outputs["photometric_confidence"] = (
             outputs[f"stage{num_stage}"]["photometric_confidence"])
+        if self.refine:
+            from ..nn.featurenet import RefineNet
+            outputs["refined_depth"] = RefineNet(name="refine_network")(
+                imgs[:, 0], outputs["depth"], train)
         if return_volume:
             return outputs, volume_feature
         return outputs

@@ -9,10 +9,30 @@ convs with bias, exactly as the reference.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.sampling import resize_nearest
 from .layers import ConvBNAct, PlainConv
+
+
+class RefineNet(nn.Module):
+    """Residual depth refiner: conv(img ⊕ depth) → depth residual.
+
+    Parity target: RefineNet at /root/reference/models/modules.py:504-516
+    (dead code there — `refine=False` everywhere, and its `F.cat` call would
+    crash if enabled; implemented working here for capability parity,
+    gated by CascadeMVSNet(refine=True)).
+    """
+
+    @nn.compact
+    def __call__(self, img, depth_init, train: bool = False):
+        """img: [B, H, W, 3]; depth_init: [B, H, W] → refined [B, H, W]."""
+        x = jnp.concatenate([img, depth_init[..., None]], axis=-1)
+        for i in range(3):
+            x = ConvBNAct(32, (3, 3), (1, 1), (1, 1), name=f"conv{i+1}")(x, train)
+        residual = ConvBNAct(1, (3, 3), (1, 1), (1, 1), name="res")(x, train)
+        return depth_init + residual[..., 0]
 
 
 class FeatureNet(nn.Module):
