@@ -31,6 +31,7 @@ class RenderConfig:
     net_width: int = 128
     volume_channels: int = 8
     num_planes: int = 128
+    net_type: str = "v0"  # 'v0' multiplicative feat bias | 'v2' additive
     pad: int = 0
 
 

@@ -25,12 +25,14 @@ from . import transforms as T
 
 class DTUTrainDataset:
     def __init__(self, datapath, listfile, mode="train", nviews=4,
-                 ndepths=192, interval_scale=1.06, seed=0, **kwargs):
+                 ndepths=192, interval_scale=1.06, seed=0,
+                 random_view=False, **kwargs):
         self.datapath = Path(datapath)
         self.mode = mode
         self.nviews = nviews
         self.ndepths = ndepths
         self.interval_scale = interval_scale
+        self.random_view = random_view  # dtu_train.py:232-238
         self.rs = np.random.RandomState(seed)
 
         if isinstance(listfile, (list, tuple)):
@@ -79,7 +81,11 @@ class DTUTrainDataset:
 
     def __getitem__(self, idx):
         scan, light, ref_view, src_views = self.metas[idx]
-        view_ids = [ref_view] + src_views[: self.nviews - 1]
+        if self.random_view:
+            picks = self.rs.permutation(len(src_views))[: self.nviews - 1]
+            view_ids = [ref_view] + [src_views[i] for i in picks]
+        else:
+            view_ids = [ref_view] + src_views[: self.nviews - 1]
 
         imgs, imgs_aug, center_imgs = [], [], []
         proj_matrices, depths_h = [], []

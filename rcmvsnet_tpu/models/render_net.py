@@ -62,6 +62,7 @@ class RenderingConsistencyNet(nn.Module):
     net_width: int = 128
     volume_channels: int = 8
     num_planes: int = 128
+    net_type: str = "v0"  # 'v0' multiplicative bias | 'v2' additive
     pad: int = 0
 
     @nn.compact
@@ -104,7 +105,9 @@ class RenderingConsistencyNet(nn.Module):
         views = jnp.broadcast_to(viewdirs[:, :, None],
                                  (*rays.ndc.shape[:3], 3))
         raw = NerfMLP(self.net_depth, self.net_width,
-                      in_ch_pts=pts_enc.shape[-1], name="nerf")(
+                      in_ch_pts=pts_enc.shape[-1],
+                      bias_mode="add" if self.net_type == "v2" else "multiply",
+                      name="nerf")(
             pts_enc, input_feat, views)                              # [B,N,S,4]
 
         dists = depth2dist(rays.z_vals, cos_angle)

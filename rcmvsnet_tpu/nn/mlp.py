@@ -50,12 +50,19 @@ class _TorchDense(nn.Module):
 
 
 class NerfMLP(nn.Module):
-    """Renderer_ours(v0): rgb+sigma from (pos-enc pts, volume feat, viewdir)."""
+    """Renderer_ours(v0) / Renderer_linear(v2): rgb+sigma from (pos-enc pts,
+    volume feat, viewdir). bias_mode 'multiply' is the default v0 net
+    (h = linear(h)·pts_bias(feat)); 'add' is the v2 variant
+    (/root/reference/models/render_models.py:462-536, additive conditioning,
+    torch-default init on its pts_linears per weights_init application).
+    The v1 attention variant is non-default & unused in the reference
+    training config and is not implemented."""
     depth: int = 6
     width: int = 128
     in_ch_pts: int = 63
     in_ch_views: int = 3
     skips: Sequence[int] = (4,)
+    bias_mode: str = "multiply"  # 'multiply' (v0) | 'add' (v2)
 
     @nn.compact
     def __call__(self, pts: jnp.ndarray, feats: jnp.ndarray,
@@ -64,7 +71,8 @@ class NerfMLP(nn.Module):
         h = pts
         bias = _TorchDense(self.width, name="pts_bias")(feats)
         for i in range(self.depth):
-            h = _KaimingDense(self.width, name=f"pts_linear_{i}")(h) * bias
+            h = _KaimingDense(self.width, name=f"pts_linear_{i}")(h)
+            h = h * bias if self.bias_mode == "multiply" else h + bias
             h = jax.nn.relu(h)
             if i in self.skips:
                 h = jnp.concatenate([pts, h], axis=-1)

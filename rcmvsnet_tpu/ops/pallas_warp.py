@@ -49,8 +49,11 @@ def _warp_rows_kernel(src_ref, px_ref, py_ref, out_ref, *, band: int,
     R = ROWS_PER_STEP
     W = px_ref.shape[-1]
     w_src = src_ref.shape[-1]
+    # pin explicitly: bf16 operands must NOT inherit a global 'highest'
+    # default (Mosaic rejects fp32 contract precision on bf16 vectors)
     precision = (jax.lax.Precision.HIGHEST
-                 if compute_dtype == jnp.float32 else None)
+                 if compute_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
 
     ymin = jnp.clip(jnp.floor(jnp.min(py_ref[:])).astype(jnp.int32), 0,
                     height - band)

@@ -41,6 +41,7 @@ def make_models(config: Config):
         net_width=config.render.net_width,
         volume_channels=config.render.volume_channels,
         num_planes=config.render.num_planes,
+        net_type=config.render.net_type,
         pad=config.render.pad)
     return cascade, render
 

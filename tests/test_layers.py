@@ -2,10 +2,19 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-# pin full-f32 math so parity isn't drowned by the platform's bf16 default
-jax.config.update("jax_default_matmul_precision", "highest")
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _highest_precision():
+    """Pin full-f32 math so parity isn't drowned by the platform's bf16
+    default — scoped per-test: a module-level config.update leaks into the
+    whole pytest session at collection time and breaks bf16 Pallas kernels
+    in other files."""
+    old = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", old)
 import torch
 import torch.nn as tnn
 
