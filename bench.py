@@ -31,6 +31,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     config = Config(backbone=BackboneConfig(
         pallas_warp_max_bytes=17 * 1024 * 1024 if on_tpu else 0,
+        pallas_warp_band=16,  # the bench rig satisfies 16-row coverage
         eval_dtype="bfloat16" if on_tpu else None))
     cascade, _ = make_models(config)
 

@@ -67,32 +67,37 @@ def _save_rainbow(path, arr, vmin, vmax):
     cv2.imwrite(str(path), img)
 
 
-def build_model(args, pallas_warp_max_bytes: int = 0):
+def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
     config = Config(backbone=BackboneConfig(
         ndepths=csv(args.ndepths, int),
         depth_intervals_ratio=csv(args.depth_inter_r, float),
         cr_base_chs=csv(args.cr_base_chs, int),
-        pallas_warp_max_bytes=pallas_warp_max_bytes))
+        pallas_warp_max_bytes=pallas_warp_max_bytes,
+        pallas_warp_band=pallas_band))
     cascade, _ = make_models(config)
     return cascade
 
 
-def pick_fast_path(args, sample) -> int:
+def pick_fast_path(args, sample):
     """Enable the Pallas warp when on TPU, not disabled, and the scan's
-    geometry satisfies the kernel's band-coverage precondition
-    (ops/pallas_warp.check_band_coverage). Returns pallas_warp_max_bytes."""
+    geometry satisfies the kernel's band-coverage precondition with the
+    smallest (fastest) band. Returns (pallas_warp_max_bytes, band)."""
     if getattr(args, "no_pallas", False) or jax.default_backend() != "tpu":
-        return 0
+        return 0, 24
     from ..ops.pallas_warp import check_band_coverage
     H, W = sample["imgs"].shape[1:3]
-    ok = True
-    for stage, scale in [("stage1", 4), ("stage2", 2), ("stage3", 1)]:
-        ok = ok and check_band_coverage(
-            sample["proj_matrices"][stage][None],
-            sample["depth_values"][None], H // scale, W // scale)
-    print(f"pallas fast path: {'ON' if ok else 'off (band coverage)'}")
-    return 17 * 1024 * 1024 if ok else 0
+    for band in (16, 24, 32):
+        ok = True
+        for stage, scale in [("stage1", 4), ("stage2", 2), ("stage3", 1)]:
+            ok = ok and check_band_coverage(
+                sample["proj_matrices"][stage][None],
+                sample["depth_values"][None], H // scale, W // scale, band)
+        if ok:
+            print(f"pallas fast path: ON (band {band})")
+            return 17 * 1024 * 1024, band
+    print("pallas fast path: off (band coverage)")
+    return 0, 24
 
 
 def load_variables(cascade, ckpt_path, sample):
@@ -132,7 +137,7 @@ def save_depth(args, testlist):
                             interval_scale=args.interval_scale,
                             max_h=args.max_h, max_w=args.max_w)
         if cascade is None:
-            cascade = build_model(args, pick_fast_path(args, ds[0]))
+            cascade = build_model(args, *pick_fast_path(args, ds[0]))
             forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
                 v, imgs, projs, dv, train=False))
             variables = load_variables(cascade, args.loadckpt, ds[0])

@@ -79,7 +79,7 @@ def main(argv=None):
     if not args.no_test:
         ds = TanksDataset(args.testpath, args.split, nviews=args.num_view,
                           img_wh=img_wh, ndepths=args.numdepth)
-        cascade = build_model(args, pick_fast_path(args, ds[0]))
+        cascade = build_model(args, *pick_fast_path(args, ds[0]))
         forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
             v, imgs, projs, dv, train=False))
         variables = load_variables(cascade, args.loadckpt, ds[0])

@@ -18,6 +18,7 @@ class BackboneConfig:
     # eval fast path: max bf16 source-feature bytes held in VMEM by the
     # Pallas warp kernel; 0 disables (CPU/tests). 17 MB covers all 3 DTU stages.
     pallas_warp_max_bytes: int = 0
+    pallas_warp_band: int = 24
     # eval conv compute dtype ('bfloat16' for TPU speed); None = float32
     eval_dtype: Optional[str] = None
 

@@ -73,6 +73,7 @@ class _DepthStage(nn.Module):
     """One cascade stage: cost volume → regularize → soft-argmax."""
     base_channels: int = 8
     use_pallas_warp: bool = False
+    pallas_band: int = 24
 
     @nn.compact
     def __call__(self, features, projs, depth_values, imgs_stage=None,
@@ -93,7 +94,8 @@ class _DepthStage(nn.Module):
         if self.use_pallas_warp and not train:
             from ..ops.pallas_warp import plane_sweep_variance_fast
             variance = plane_sweep_variance_fast(
-                ref_feat, src_feats, src_projs, ref_proj, depth_values)
+                ref_feat, src_feats, src_projs, ref_proj, depth_values,
+                band=self.pallas_band)
         else:
             variance, _ = plane_sweep_variance(
                 ref_feat, src_feats, src_projs, ref_proj, depth_values)
@@ -125,6 +127,9 @@ class CascadeMVSNet(nn.Module):
     # TPU eval fast path: Pallas hat-matmul warp (ops/pallas_warp.py) for
     # stages whose bf16 source feature map fits VMEM. 0 disables.
     pallas_warp_max_bytes: int = 0
+    # y-band rows per 8-row group; smaller = faster, must satisfy the
+    # coverage precondition (check_band_coverage picks per dataset)
+    pallas_warp_band: int = 24
     # eval compute dtype for the conv stacks ('bfloat16' halves conv time
     # and warp bytes; camera geometry, softmax and depth regression stay
     # f32). None keeps float32.
@@ -194,6 +199,7 @@ class CascadeMVSNet(nn.Module):
             use_pallas = (0 < src_bytes <= self.pallas_warp_max_bytes)
             stage_out = _DepthStage(
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
+                pallas_band=self.pallas_warp_band,
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train, want_volume)
 

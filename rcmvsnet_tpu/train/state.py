@@ -32,6 +32,7 @@ def make_models(config: Config):
         base_channels=config.backbone.base_channels,
         grad_detach=config.backbone.grad_detach,
         pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes,
+        pallas_warp_band=config.backbone.pallas_warp_band,
         eval_dtype=config.backbone.eval_dtype)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
