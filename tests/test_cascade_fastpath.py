@@ -1,0 +1,71 @@
+"""Cascade eval fast-path flags (Pallas warp + bf16) vs the default path —
+interpret mode on CPU, guarding the TPU-only configuration."""
+from unittest import mock
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental import pallas as pl
+
+from rcmvsnet_tpu.models.cascade import CascadeMVSNet
+from rcmvsnet_tpu.ops import pallas_warp
+from tests.test_models import _dtu_like_inputs
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pallas_warp.pl, "pallas_call", interp)
+
+
+def test_fast_path_matches_default_path():
+    imgs, projs, depth_values = _dtu_like_inputs(B=1, V=3, H=64, W=64,
+                                                 ndepth=32)
+    args = (jnp.asarray(imgs),
+            jax.tree_util.tree_map(jnp.asarray, projs),
+            jnp.asarray(depth_values))
+
+    base = CascadeMVSNet(ndepths=(8, 8, 8))
+    variables = base.init(jax.random.PRNGKey(0), *args, train=False)
+    ref = base.apply(variables, *args, train=False)
+
+    fast = CascadeMVSNet(ndepths=(8, 8, 8),
+                         pallas_warp_max_bytes=32 * 1024 * 1024,
+                         pallas_warp_band=16)
+    # coverage precondition holds for the translation-dominant test rig
+    assert pallas_warp.check_band_coverage(
+        projs["stage1"], depth_values, 16, 16, band=16)
+    out = fast.apply(variables, *args, train=False)
+
+    # bf16 kernel compute ⇒ loose-ish but meaningful depth agreement
+    for key in ("stage1", "stage2", "stage3"):
+        d_ref = np.asarray(ref[key]["depth"])
+        d_out = np.asarray(out[key]["depth"])
+        rel = np.abs(d_ref - d_out) / np.abs(d_ref).clip(1e-6)
+        assert rel.max() < 5e-2, (key, rel.max())
+        assert rel.mean() < 5e-3, (key, rel.mean())
+
+
+def test_eval_dtype_bf16_close_to_f32():
+    imgs, projs, depth_values = _dtu_like_inputs(B=1, V=3, H=64, W=64,
+                                                 ndepth=32)
+    args = (jnp.asarray(imgs),
+            jax.tree_util.tree_map(jnp.asarray, projs),
+            jnp.asarray(depth_values))
+    base = CascadeMVSNet(ndepths=(8, 8, 8))
+    variables = base.init(jax.random.PRNGKey(0), *args, train=False)
+    ref = base.apply(variables, *args, train=False)
+    bf16 = CascadeMVSNet(ndepths=(8, 8, 8), eval_dtype="bfloat16")
+    out = bf16.apply(variables, *args, train=False)
+    d_ref = np.asarray(ref["depth"])
+    d_out = np.asarray(out["depth"])
+    rel = np.abs(d_ref - d_out) / np.abs(d_ref).clip(1e-6)
+    # bf16 features through softmax-weighted regression: small depth shift
+    assert rel.mean() < 1e-2
