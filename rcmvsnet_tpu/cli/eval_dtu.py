@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--no_filter", action="store_true", help="depth only")
     p.add_argument("--no_pallas", action="store_true",
                    help="disable the Pallas warp fast path")
+    p.add_argument("--gt_dir", default=None,
+                   help="DTU SampleSet/MVS Data dir (Points/stl + ObsMask); "
+                        "when given, phase 3 runs the ported acc/comp "
+                        "benchmark on the fused clouds and writes "
+                        "dtu_metrics.json")
     return p.parse_args(argv)
 
 
@@ -214,6 +219,17 @@ def main(argv=None):
         else:
             results = [fuse_one(w) for w in work]
         print(json.dumps({s: n for s, n in results}))
+
+    if args.gt_dir:
+        # phase 3: ported DTU acc/comp benchmark (matlab_eval replacement;
+        # protocol per BASELINE.md — acc/comp/overall over the fused plys)
+        from ..fusion.dtu_eval import dtu_eval_scans
+        sets = sorted(int(s[4:]) for s in testlist)
+        metrics = dtu_eval_scans(args.outdir, args.gt_dir, sets=sets)
+        out = Path(args.outdir) / "dtu_metrics.json"
+        out.write_text(json.dumps(metrics, indent=2, default=str))
+        print(json.dumps({"acc": metrics["acc"], "comp": metrics["comp"],
+                          "overall": metrics["overall"]}))
 
 
 if __name__ == "__main__":

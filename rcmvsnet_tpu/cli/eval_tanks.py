@@ -23,30 +23,43 @@ from ..data.tanks import ADVANCED_SCANS, INTERMEDIATE_SCANS, TanksDataset
 from ..fusion.fuse import fuse_scan
 from .eval_dtu import build_model, load_variables, pick_fast_path
 
-# per-scene fusion hyperparameters (eval_rcmvsnet_tanks.py:408-440,466-491)
+# per-scene fusion hyperparameters, transcribed 1:1 from
+# eval_rcmvsnet_tanks.py:400-440 (intermediate) and :460-491 (advanced);
+# equality against the reference asserted by tests/test_tanks_tables.py
 PHOTO_THRESHOLD = {
-    "Family": 0.8, "Francis": 0.8, "Horse": 0.8, "Lighthouse": 0.8,
-    "M60": 0.8, "Panther": 0.8, "Playground": 0.8, "Train": 0.8,
-    "Auditorium": 0.7, "Ballroom": 0.7, "Courtroom": 0.7, "Museum": 0.7,
-    "Palace": 0.7, "Temple": 0.7,
+    "Family": 0.9, "Francis": 0.8, "Horse": 0.8, "Lighthouse": 0.8,
+    "M60": 0.9, "Panther": 0.9, "Playground": 0.85, "Train": 0.9,
+    "Auditorium": 0.7, "Ballroom": 0.8, "Courtroom": 0.8, "Museum": 0.8,
+    "Palace": 0.9, "Temple": 0.8,
 }
 GEO_MASK_THRESHOLD = {
-    "Family": 5, "Francis": 6, "Horse": 5, "Lighthouse": 6, "M60": 5,
-    "Panther": 5, "Playground": 5, "Train": 5,
-    "Auditorium": 3, "Ballroom": 3, "Courtroom": 3, "Museum": 3,
-    "Palace": 4, "Temple": 3,
+    "Family": 6, "Francis": 8, "Horse": 4, "Lighthouse": 7, "M60": 6,
+    "Panther": 7, "Playground": 7, "Train": 6,
+    "Auditorium": 3, "Ballroom": 4, "Courtroom": 3, "Museum": 4,
+    "Palace": 5, "Temple": 3,
 }
 GEO_PIXEL_THRESHOLD = {
-    "Family": 1.0, "Francis": 1.0, "Horse": 0.75, "Lighthouse": 1.0,
-    "M60": 1.0, "Panther": 1.0, "Playground": 1.0, "Train": 1.0,
-    "Auditorium": 2.0, "Ballroom": 2.0, "Courtroom": 2.0, "Museum": 2.0,
-    "Palace": 2.0, "Temple": 2.0,
+    "Family": 0.75, "Francis": 1.0, "Horse": 1.25, "Lighthouse": 1.0,
+    "M60": 0.75, "Panther": 1.0, "Playground": 1.0, "Train": 1.5,
+    "Auditorium": 4.0, "Ballroom": 4.0, "Courtroom": 3.0, "Museum": 4.0,
+    "Palace": 4.0, "Temple": 4.0,
 }
 GEO_DEPTH_THRESHOLD = {
     "Family": 0.01, "Francis": 0.01, "Horse": 0.01, "Lighthouse": 0.01,
-    "M60": 0.01, "Panther": 0.01, "Playground": 0.01, "Train": 0.01,
-    "Auditorium": 0.01, "Ballroom": 0.01, "Courtroom": 0.01, "Museum": 0.01,
-    "Palace": 0.01, "Temple": 0.01,
+    "M60": 0.005, "Panther": 0.01, "Playground": 0.01, "Train": 0.01,
+    "Auditorium": 0.005, "Ballroom": 0.005, "Courtroom": 0.005,
+    "Museum": 0.01, "Palace": 0.005, "Temple": 0.01,
+}
+# native capture resolutions per scene (eval_rcmvsnet_tanks.py:400-412,
+# :460-466): intrinsics in the distributed cam files are expressed at these
+# sizes; inference rescales them to img_wh
+IMAGE_SIZES = {
+    "Family": (1920, 1080), "Francis": (1920, 1080), "Horse": (1920, 1080),
+    "Lighthouse": (2048, 1080), "M60": (2048, 1080), "Panther": (2048, 1080),
+    "Playground": (1920, 1080), "Train": (1920, 1080),
+    "Auditorium": (1920, 1080), "Ballroom": (1920, 1080),
+    "Courtroom": (1920, 1080), "Museum": (1920, 1080),
+    "Palace": (1920, 1080), "Temple": (1920, 1080),
 }
 
 

@@ -26,10 +26,14 @@ DTU_EVAL_SETS = [1, 4, 9, 10, 11, 12, 13, 15, 23, 24, 29, 32, 33, 34, 48,
 
 
 def reduce_points(pts: np.ndarray, dst: float = 0.2,
-                  seed: Optional[int] = None) -> np.ndarray:
+                  seed: Optional[int] = 0) -> np.ndarray:
     """Stochastic thinning: visit points in random order; keep a point iff
     it hasn't been suppressed, then suppress all neighbors within dst.
     pts: [N, 3]. Matches reducePts_haa.m.
+
+    seed defaults to 0 so published acc/comp numbers are reproducible
+    run-to-run (the MATLAB original uses an unseeded randperm; pass
+    seed=None to reproduce that wobble deliberately).
     """
     from scipy.spatial import cKDTree
     n = pts.shape[0]

@@ -16,10 +16,13 @@ long-context attention). This kernel restructures the warp as MXU work:
   * sample coordinates are computed in XLA (f32, Precision.HIGHEST) and
     streamed as per-row blocks.
 
-The y-band (static BAND rows) must cover each output row's source-y spread.
-`plane_sweep_variance_fast` checks the exact per-row coverage condition and
-falls back to the gather path (ops/warp.py) via lax.cond when violated, so
-results are always correct.
+The y-band (static BAND rows) must cover each 8-row group's source-y
+spread. This is a HOST-SIDE PRECONDITION, not an in-kernel fallback: the
+kernel silently zeros out-of-band taps when violated. Callers must gate the
+fast path with `check_band_coverage(...)` once per scan/shape (drivers do:
+cli/eval_dtu.py pick_fast_path) and use the gather path (ops/warp.py)
+otherwise — keeping both paths inside one jit behind lax.cond would double
+peak HBM, so path selection happens before tracing.
 
 Parity target: homo_warping (/root/reference/models/modules.py:304-339) and
 the streamed variance of /root/reference/models/casmvsnet.py:68-100.

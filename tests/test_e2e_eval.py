@@ -89,6 +89,56 @@ def test_eval_dtu_cli_end_to_end(tmp_path, synthetic_scan):
     assert np.isfinite(xyz).all()
 
 
+def test_eval_dtu_cli_gt_benchmark_phase(tmp_path):
+    """Phase 3 wiring: --gt_dir runs the ported DTU acc/comp benchmark on
+    the fused cloud and writes dtu_metrics.json (reference workflow ends in
+    matlab_eval — README.md:141-147). Synthetic GT: the fused 'cloud' is
+    the GT shifted by 0.3mm, so acc ≈ comp ≈ 0.3 and the metric is exact."""
+    import json
+    from scipy.io import savemat
+
+    rs = np.random.RandomState(0)
+    stl = (rs.rand(4000, 3) * 100).astype(np.float64)
+    data = stl + 0.3 / np.sqrt(3.0)
+
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    save_ply(outdir / "mvsnet001_l3.ply", data.astype(np.float32))
+
+    gt = tmp_path / "gt"
+    (gt / "Points" / "stl").mkdir(parents=True)
+    (gt / "ObsMask").mkdir()
+    save_ply(gt / "Points" / "stl" / "stl001_total.ply",
+             stl.astype(np.float32))
+    # ObsMask covering all of space; plane below everything
+    savemat(gt / "ObsMask" / "ObsMask1_10.mat",
+            {"ObsMask": np.ones((12, 12, 12), np.uint8),
+             "BB": np.array([[-5.0, -5.0, -5.0], [105.0, 105.0, 105.0]]),
+             "Res": np.array([[10.0]])})
+    savemat(gt / "ObsMask" / "Plane1.mat",
+            {"P": np.array([[0.0], [0.0], [1.0], [5.0]])})
+
+    from rcmvsnet_tpu.cli import eval_dtu
+    eval_dtu.main([
+        "--testpath", str(tmp_path), "--testlist", "scan1",
+        "--loadckpt", "unused.msgpack", "--outdir", str(outdir),
+        "--no_test", "--no_filter", "--gt_dir", str(gt),
+    ])
+    metrics = json.loads((outdir / "dtu_metrics.json").read_text())
+    assert abs(metrics["acc"] - 0.3) < 0.02
+    assert abs(metrics["comp"] - 0.3) < 0.02
+    assert abs(metrics["overall"] - 0.3) < 0.02
+
+
+def test_reduce_points_deterministic():
+    """Default seed=0 makes published acc/comp numbers reproducible."""
+    from rcmvsnet_tpu.fusion.dtu_eval import reduce_points
+    pts = np.random.RandomState(3).rand(2000, 3) * 10
+    a = reduce_points(pts)
+    b = reduce_points(pts)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_rm_color_cli(tmp_path):
     from rcmvsnet_tpu.cli import rm_color
     xyz = np.random.RandomState(0).randn(50, 3).astype(np.float32)
