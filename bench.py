@@ -32,6 +32,7 @@ def main():
     config = Config(backbone=BackboneConfig(
         pallas_warp_max_bytes=17 * 1024 * 1024 if on_tpu else 0,
         pallas_warp_band=16,  # the bench rig satisfies 16-row coverage
+        pallas_costreg=on_tpu,
         eval_dtype="bfloat16" if on_tpu else None))
     cascade, _ = make_models(config)
 
@@ -58,11 +59,21 @@ def main():
         depth, conf = forward(variables, imgs, projs, depth_values)
         sync(depth)
 
+    import os
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        # capture a jax.profiler trace of the timed loop (inspect with
+        # tensorboard or xprof); enable via BENCH_PROFILE_DIR=/tmp/prof
+        jax.profiler.start_trace(profile_dir)
+
     start = time.perf_counter()
     for _ in range(ITERS):
         depth, conf = forward(variables, imgs, projs, depth_values)
         sync(depth)
     elapsed = time.perf_counter() - start
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     maps_per_sec = ITERS / elapsed
     assert np.isfinite(np.asarray(depth)).all()

@@ -74,12 +74,15 @@ def _save_rainbow(path, arr, vmin, vmax):
 
 def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
+    pallas_costreg = (not getattr(args, "no_pallas", False)
+                      and jax.default_backend() == "tpu")
     config = Config(backbone=BackboneConfig(
         ndepths=csv(args.ndepths, int),
         depth_intervals_ratio=csv(args.depth_inter_r, float),
         cr_base_chs=csv(args.cr_base_chs, int),
         pallas_warp_max_bytes=pallas_warp_max_bytes,
-        pallas_warp_band=pallas_band))
+        pallas_warp_band=pallas_band,
+        pallas_costreg=pallas_costreg))
     cascade, _ = make_models(config)
     return cascade
 

@@ -58,6 +58,9 @@ def parse_args(argv=None):
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap steps/epoch (debug/smoke runs)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of N train steps "
+                        "(starting at step 3) into <logdir>/profile")
     return p.parse_args(argv)
 
 
@@ -127,9 +130,11 @@ def main(argv=None):
         state, start_epoch = restore_checkpoint(config.run.logdir, state)
         print(f"resumed at epoch {start_epoch}")
 
-    train_step = jax.jit(make_train_step(config, steps_per_epoch))
+    train_step = jax.jit(make_train_step(config, steps_per_epoch,
+                                         with_images=True))
     val_step = jax.jit(make_val_step(config))
     logger = MetricLogger(config.run.logdir)
+    profile_until = None
 
     with mesh:
         state = replicate(state, mesh)
@@ -146,12 +151,27 @@ def main(argv=None):
                 sharded = shard_batch(hbatch, mesh)
                 sharded["w_aug"] = jnp.asarray(batch["w_aug"])
                 rng, step_rng = jax.random.split(rng)
+                if args.profile_steps and step_idx == 3 and epoch == start_epoch:
+                    jax.profiler.start_trace(f"{config.run.logdir}/profile")
+                    profile_until = step_idx + args.profile_steps
                 state, metrics = train_step(state, sharded, step_rng)
                 gstep = int(state.step)
+                if profile_until is not None and step_idx >= profile_until:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics["loss"])
+                    jax.profiler.stop_trace()
+                    profile_until = None
+                    print(f"profile trace -> {config.run.logdir}/profile")
+                images = metrics.pop("images", None)
                 if gstep % config.run.summary_freq == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["step_time"] = time.time() - t0
                     logger.log("train", host, gstep)
+                    if images is not None:
+                        logger.log_images(
+                            "train",
+                            {k: np.asarray(v) for k, v in images.items()},
+                            gstep)
                     meter.update(host)
                     print(f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
                           f"loss {host['loss']:.3f} "

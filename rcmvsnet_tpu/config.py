@@ -19,6 +19,9 @@ class BackboneConfig:
     # Pallas warp kernel; 0 disables (CPU/tests). 17 MB covers all 3 DTU stages.
     pallas_warp_max_bytes: int = 0
     pallas_warp_band: int = 24
+    # eval fast path: CostRegNet 3D convs via the Pallas channel-major
+    # matmul kernel (ops/pallas_conv3d.py); False = XLA convs
+    pallas_costreg: bool = False
     # eval conv compute dtype ('bfloat16' for TPU speed); None = float32
     eval_dtype: Optional[str] = None
 
@@ -33,6 +36,11 @@ class RenderConfig:
     volume_channels: int = 8
     num_planes: int = 128
     net_type: str = "v0"  # 'v0' multiplicative feat bias | 'v2' additive
+    # NDC border squeeze for ray sampling (core/geometry.py world_to_ndc),
+    # matching render_utils.py:112-146. The reference's corresponding
+    # VOLUME-side pad is dead AND broken there (casmvsnet.py:58-61 assigns
+    # an [H+2p, W+2p] slice into an [H, W] buffer — crashes for pad>0, and
+    # no call site ever passes pad≠0), so only the ray side is functional.
     pad: int = 0
 
 

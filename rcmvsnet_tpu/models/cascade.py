@@ -74,6 +74,7 @@ class _DepthStage(nn.Module):
     base_channels: int = 8
     use_pallas_warp: bool = False
     pallas_band: int = 24
+    costreg_impl: str = "xla"
 
     @nn.compact
     def __call__(self, features, projs, depth_values, imgs_stage=None,
@@ -111,7 +112,8 @@ class _DepthStage(nn.Module):
             extras["volume_feature_no_ref"] = jnp.concatenate(
                 warped_imgs + [var_no_ref], axis=-1)
 
-        cost = CostRegNet(self.base_channels, name="cost_reg")(variance, train)
+        cost = CostRegNet(self.base_channels, conv_impl=self.costreg_impl,
+                          name="cost_reg")(variance, train)
         prob_volume = jax.nn.softmax(cost[..., 0].astype(jnp.float32), axis=1)
         depth = depth_regression(prob_volume, depth_values)
         conf = photometric_confidence(prob_volume)
@@ -130,6 +132,9 @@ class CascadeMVSNet(nn.Module):
     # y-band rows per 8-row group; smaller = faster, must satisfy the
     # coverage precondition (check_band_coverage picks per dataset)
     pallas_warp_band: int = 24
+    # eval fast path: route CostRegNet's 3D convs through the channel-major
+    # Pallas kernel (ops/pallas_conv3d.py). No precondition; eval only.
+    pallas_costreg: bool = False
     # eval compute dtype for the conv stacks ('bfloat16' halves conv time
     # and warp bytes; camera geometry, softmax and depth regression stay
     # f32). None keeps float32.
@@ -200,6 +205,7 @@ class CascadeMVSNet(nn.Module):
             stage_out = _DepthStage(
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
                 pallas_band=self.pallas_warp_band,
+                costreg_impl="pallas3d" if self.pallas_costreg else "xla",
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train, want_volume)
 

@@ -20,22 +20,32 @@ from .layers import ConvBNAct, DeconvBNAct, PlainConv
 
 class CostRegNet(nn.Module):
     base_channels: int = 8
+    # 'pallas3d' routes every conv through the channel-major Pallas kernel
+    # (ops/pallas_conv3d.py) on the eval path; train always uses XLA (the
+    # kernel has no custom VJP). Param tree is identical either way.
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.base_channels
         k, s1, s2, p = (3, 3, 3), (1, 1, 1), (2, 2, 2), (1, 1, 1)
-        conv0 = ConvBNAct(c, k, s1, p, name="conv0")(x, train)
-        conv2 = ConvBNAct(c * 2, k, s1, p, name="conv2")(
-            ConvBNAct(c * 2, k, s2, p, name="conv1")(conv0, train), train)
-        conv4 = ConvBNAct(c * 4, k, s1, p, name="conv4")(
-            ConvBNAct(c * 4, k, s2, p, name="conv3")(conv2, train), train)
-        x = ConvBNAct(c * 8, k, s1, p, name="conv6")(
-            ConvBNAct(c * 8, k, s2, p, name="conv5")(conv4, train), train)
-        x = conv4 + DeconvBNAct(c * 4, k, s2, p, (1, 1, 1), name="conv7")(x, train)
-        x = conv2 + DeconvBNAct(c * 2, k, s2, p, (1, 1, 1), name="conv9")(x, train)
-        x = conv0 + DeconvBNAct(c, k, s2, p, (1, 1, 1), name="conv11")(x, train)
-        return PlainConv(1, k, p, use_bias=False, name="prob")(x)
+        impl = self.conv_impl if not train else "xla"
+        conv = lambda f, s, name: ConvBNAct(f, k, s, p, name=name,
+                                            conv_impl=impl)
+        deconv = lambda f, name: DeconvBNAct(f, k, s2, p, (1, 1, 1),
+                                             name=name, conv_impl=impl)
+        conv0 = conv(c, s1, "conv0")(x, train)
+        conv2 = conv(c * 2, s1, "conv2")(
+            conv(c * 2, s2, "conv1")(conv0, train), train)
+        conv4 = conv(c * 4, s1, "conv4")(
+            conv(c * 4, s2, "conv3")(conv2, train), train)
+        x = conv(c * 8, s1, "conv6")(
+            conv(c * 8, s2, "conv5")(conv4, train), train)
+        x = conv4 + deconv(c * 4, "conv7")(x, train)
+        x = conv2 + deconv(c * 2, "conv9")(x, train)
+        x = conv0 + deconv(c, "conv11")(x, train)
+        return PlainConv(1, k, p, use_bias=False, name="prob",
+                         conv_impl=impl)(x)
 
 
 class RenderCostReg(nn.Module):

@@ -19,6 +19,7 @@ notes vs the reference wrappers (/root/reference/models/modules.py:28-211):
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -101,10 +102,41 @@ class TorchBatchNorm(nn.Module):
                 + bias.astype(x.dtype))
 
 
+class PallasConv3d(nn.Module):
+    """Drop-in for nn.Conv on 3×3×3 stride-{1,2} padding-1 3D convs, backed
+    by the Pallas channel-major matmul kernel (ops/pallas_conv3d.py — XLA's
+    conv lowering runs at ~2% MXU on this chip). Same param tree as nn.Conv
+    ('kernel' [3,3,3,Ci,Co], optional 'bias')."""
+    features: int
+    strides: Sequence[int] = (1, 1, 1)
+    use_bias: bool = False
+    kernel_init: callable = torch_kernel_init
+    bias_init: callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_conv3d import conv3d_lanewise
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (3, 3, 3, in_ch, self.features))
+        conv = functools.partial(conv3d_lanewise,
+                                 kernel=kernel.astype(x.dtype),
+                                 strides=tuple(self.strides))
+        # unrolled batch loop: vmap-of-pallas_call faults on this libtpu
+        # (batched grids); B is static and 1 on the eval path
+        y = jnp.stack([conv(x[b]) for b in range(x.shape[0])])
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvBNAct(nn.Module):
     """conv → [BN] → [ReLU], any spatial rank (2 or 3 from input shape).
 
     Mirrors the reference Conv2d/Conv3d wrappers: bias only when bn=False.
+    conv_impl='pallas3d' swaps the conv for the Pallas kernel (3D, k=3,
+    p=1 only) with an identical param tree.
     """
     features: int
     kernel_size: Sequence[int] = (3, 3)
@@ -114,22 +146,33 @@ class ConvBNAct(nn.Module):
     bn: bool = True
     bias: Optional[bool] = None  # default: not bn
     axis_name: Optional[str] = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_bias = (not self.bn) if self.bias is None else self.bias
         in_ch = x.shape[-1]
         fan_in = in_ch * int(np.prod(self.kernel_size))
-        x = nn.Conv(
-            self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=tuple(self.strides),
-            padding=[(p, p) for p in self.padding],
-            use_bias=use_bias,
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(fan_in),
-            dtype=x.dtype,
-        )(x)
+        if self.conv_impl == "pallas3d":
+            assert (tuple(self.kernel_size) == (3, 3, 3)
+                    and tuple(self.padding) == (1, 1, 1)), (
+                "pallas3d covers k=3 p=1 3D convs only")
+            x = PallasConv3d(
+                self.features, strides=tuple(self.strides),
+                use_bias=use_bias, kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(fan_in), name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                strides=tuple(self.strides),
+                padding=[(p, p) for p in self.padding],
+                use_bias=use_bias,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(fan_in),
+                dtype=x.dtype,
+                name="Conv_0",
+            )(x)
         if self.bn:
             x = TorchBatchNorm(axis_name=self.axis_name)(x, train)
         if self.relu:
@@ -153,6 +196,7 @@ class DeconvBNAct(nn.Module):
     bn: bool = True
     crop_to_double: bool = False
     axis_name: Optional[str] = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -168,17 +212,31 @@ class DeconvBNAct(nn.Module):
                 key, shape, dtype, fan_in=fan_in),
             (*self.kernel_size, in_ch, self.features))
 
-        pad = [(k - 1 - p, k - 1 - p + op)
-               for k, p, op in zip(self.kernel_size, self.padding,
-                                   self.output_padding)]
-        dn_map = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype),
-            window_strides=(1,) * ndim_sp,
-            padding=pad,
-            lhs_dilation=tuple(self.strides),
-            dimension_numbers=dn_map[ndim_sp],
-            precision=None)
+        if self.conv_impl == "pallas3d":
+            assert (ndim_sp == 3 and tuple(self.kernel_size) == (3, 3, 3)
+                    and tuple(self.strides) == (2, 2, 2)
+                    and tuple(self.padding) == (1, 1, 1)
+                    and tuple(self.output_padding) == (1, 1, 1)), (
+                "pallas3d covers the k=3/s=2/p=1/op=1 transpose conv only")
+            from ..ops.pallas_conv3d import conv3d_lanewise
+            deconv = functools.partial(
+                conv3d_lanewise, kernel=kernel.astype(x.dtype),
+                transposed=True)
+            # unrolled batch loop — see PallasConv3d
+            y = jnp.stack([deconv(x[b]) for b in range(x.shape[0])])
+        else:
+            pad = [(k - 1 - p, k - 1 - p + op)
+                   for k, p, op in zip(self.kernel_size, self.padding,
+                                       self.output_padding)]
+            dn_map = {2: ("NHWC", "HWIO", "NHWC"),
+                      3: ("NDHWC", "DHWIO", "NDHWC")}
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype),
+                window_strides=(1,) * ndim_sp,
+                padding=pad,
+                lhs_dilation=tuple(self.strides),
+                dimension_numbers=dn_map[ndim_sp],
+                precision=None)
         if not self.bn:
             bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)
@@ -198,10 +256,18 @@ class PlainConv(nn.Module):
     kernel_size: Sequence[int] = (1, 1)
     padding: Sequence[int] = (0, 0)
     use_bias: bool = False
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1] * int(np.prod(self.kernel_size))
+        if self.conv_impl == "pallas3d":
+            assert (tuple(self.kernel_size) == (3, 3, 3)
+                    and tuple(self.padding) == (1, 1, 1))
+            return PallasConv3d(
+                self.features, use_bias=self.use_bias,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(fan_in), name="Conv_0")(x)
         return nn.Conv(
             self.features,
             kernel_size=tuple(self.kernel_size),

@@ -48,6 +48,35 @@ class MetricLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"{mode}/{k}", float(v), int(step))
 
+    def log_images(self, mode: str, images: dict, step: int):
+        """Depth/confidence/error image summaries, matching the reference's
+        save_images (/root/reference/utils.py:83-100: first batch element,
+        per-image min-max normalization). Mirrors to TensorBoard when
+        available and always writes PNGs under logdir/images/."""
+        import numpy as np
+
+        img_dir = self.logdir / "images"
+        img_dir.mkdir(exist_ok=True)
+        for name, value in images.items():
+            img = np.asarray(value, np.float32)
+            if img.ndim == 4:        # [B, H, W, C] → first sample
+                img = img[0]
+            elif img.ndim == 3:      # [B, H, W] → first sample, grayscale
+                img = img[0][..., None]
+            lo, hi = float(img.min()), float(img.max())
+            norm = (img - lo) / max(hi - lo, 1e-8)
+            if self._tb is not None:
+                self._tb.add_image(f"{mode}/{name}",
+                                   norm.transpose(2, 0, 1), int(step))
+            try:
+                import cv2
+                out = (norm[..., ::-1] if norm.shape[-1] == 3
+                       else norm[..., 0])
+                cv2.imwrite(str(img_dir / f"{mode}_{name}_{step:08d}.png"),
+                            (out * 255).astype(np.uint8))
+            except Exception:
+                pass
+
     def close(self):
         self._file.close()
         if self._tb is not None:

@@ -33,6 +33,7 @@ def make_models(config: Config):
         grad_detach=config.backbone.grad_detach,
         pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes,
         pallas_warp_band=config.backbone.pallas_warp_band,
+        pallas_costreg=config.backbone.pallas_costreg,
         eval_dtype=config.backbone.eval_dtype)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,

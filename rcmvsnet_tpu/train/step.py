@@ -34,8 +34,14 @@ from ..losses.unsup import unsup_loss_multi_stage
 from .state import TrainState, make_models, make_optimizer
 
 
-def make_train_step(config: Config, steps_per_epoch: int):
+def make_train_step(config: Config, steps_per_epoch: int,
+                    with_images: bool = False):
     """Returns train_step(state, batch, rng, w_aug) -> (state, metrics).
+
+    with_images adds metrics["images"] — the reference's TensorBoard image
+    summaries (train_rcmvsnet.py:365-371,438-440,313-315: masked/unmasked
+    depth estimates per pass, gt, ref image, mask, error map) as device
+    arrays; drivers pop and host-transfer them only on summary steps.
 
     batch keys (host pytree, batch-major):
       imgs, imgs_aug, center_imgs: [B, V, H, W, 3]
@@ -113,6 +119,28 @@ def make_train_step(config: Config, steps_per_epoch: int):
                 "thres4mm_error": thres_metric(est, gt, mask, 4.0),
                 "thres8mm_error": thres_metric(est, gt, mask, 8.0),
             })
+        if with_images:
+            est = jax.lax.stop_gradient(outputs["depth"])
+            est_aug = jax.lax.stop_gradient(outputs_aug["depth"])
+            images = {"depth_est_nomask": est,
+                      "aug_depth_est_nomask": est_aug,
+                      "nerf_depth_est_nomask": pseudo_depth,
+                      "ref_img": imgs[:, 0]}
+            if "depth" in batch and "mask" in batch:
+                num_stage = len(dlossw)
+                gt = batch["depth"][f"stage{num_stage}"]
+                fmask = batch["mask"][f"stage{num_stage}"]
+                images.update({
+                    "depth_est": est * fmask,
+                    "aug_depth_est": est_aug * fmask,
+                    "nerf_depth_est": pseudo_depth * fmask,
+                    # reference logs the STAGE-1 gt/mask images even though
+                    # metrics use stage{num} (train_rcmvsnet.py:367-369)
+                    "depth_gt": batch["depth"]["stage1"],
+                    "mask": batch["mask"]["stage1"],
+                    "errormap": jnp.abs(est - gt) * fmask,
+                })
+            metrics["images"] = images
         return total, (new_stats, metrics)
 
     def train_step(state: TrainState, batch, rng):

@@ -10,7 +10,7 @@ import pytest
 from jax.experimental import pallas as pl
 
 from rcmvsnet_tpu.models.cascade import CascadeMVSNet
-from rcmvsnet_tpu.ops import pallas_warp
+from rcmvsnet_tpu.ops import pallas_conv3d, pallas_warp
 from tests.test_models import _dtu_like_inputs
 
 
@@ -23,6 +23,7 @@ def interpret_pallas(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(pallas_warp.pl, "pallas_call", interp)
+    monkeypatch.setattr(pallas_conv3d.pl, "pallas_call", interp)
 
 
 def test_fast_path_matches_default_path():
@@ -51,6 +52,34 @@ def test_fast_path_matches_default_path():
         rel = np.abs(d_ref - d_out) / np.abs(d_ref).clip(1e-6)
         assert rel.max() < 5e-2, (key, rel.max())
         assert rel.mean() < 5e-3, (key, rel.mean())
+
+
+def test_pallas_costreg_matches_xla_costreg():
+    """pallas_costreg routes every CostRegNet conv through the channel-major
+    kernel with the SAME params; f32 inputs keep HIGHEST precision, so the
+    whole cascade must agree tightly with the XLA-conv path."""
+    imgs, projs, depth_values = _dtu_like_inputs(B=1, V=3, H=64, W=64,
+                                                 ndepth=32)
+    args = (jnp.asarray(imgs),
+            jax.tree_util.tree_map(jnp.asarray, projs),
+            jnp.asarray(depth_values))
+
+    base = CascadeMVSNet(ndepths=(8, 8, 8))
+    variables = base.init(jax.random.PRNGKey(0), *args, train=False)
+    ref = base.apply(variables, *args, train=False)
+
+    fast = CascadeMVSNet(ndepths=(8, 8, 8), pallas_costreg=True)
+    out = fast.apply(variables, *args, train=False)
+
+    for key in ("stage1", "stage2", "stage3"):
+        d_ref = np.asarray(ref[key]["depth"])
+        d_out = np.asarray(out[key]["depth"])
+        np.testing.assert_allclose(d_out, d_ref, rtol=1e-4, atol=1e-3,
+                                   err_msg=key)
+        c_ref = np.asarray(ref[key]["photometric_confidence"])
+        c_out = np.asarray(out[key]["photometric_confidence"])
+        np.testing.assert_allclose(c_out, c_ref, rtol=1e-3, atol=1e-3,
+                                   err_msg=key)
 
 
 def test_eval_dtype_bf16_close_to_f32():

@@ -100,3 +100,23 @@ def test_adjust_w_aug_schedule():
     assert adjust_w_aug(7, 0.01) == 0.16
     assert adjust_w_aug(9, 0.01) == 0.32
     assert adjust_w_aug(14, 0.01) == 0.32
+
+
+def test_metric_logger_image_summaries(tmp_path):
+    """log_images writes per-image min-max-normalized summaries (PNG
+    fallback always; TB when available) — reference utils.py:83-100."""
+    import numpy as np
+    from rcmvsnet_tpu.train.logging import MetricLogger
+
+    logger = MetricLogger(tmp_path)
+    rs = np.random.RandomState(0)
+    logger.log_images("train", {
+        "depth_est": rs.rand(2, 16, 20) * 900,      # [B, H, W]
+        "ref_img": rs.rand(2, 16, 20, 3),           # [B, H, W, 3]
+    }, step=10)
+    logger.close()
+    assert (tmp_path / "images" / "train_depth_est_00000010.png").exists()
+    assert (tmp_path / "images" / "train_ref_img_00000010.png").exists()
+    import cv2
+    img = cv2.imread(str(tmp_path / "images" / "train_depth_est_00000010.png"))
+    assert img.min() == 0 and img.max() == 255  # min-max normalized
