@@ -33,6 +33,7 @@ def main():
         pallas_warp_max_bytes=17 * 1024 * 1024 if on_tpu else 0,
         pallas_warp_band=16,  # the bench rig satisfies 16-row coverage
         pallas_costreg=on_tpu,
+        pallas_tail=on_tpu,
         eval_dtype="bfloat16" if on_tpu else None))
     cascade, _ = make_models(config)
 

@@ -82,7 +82,8 @@ def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24):
         cr_base_chs=csv(args.cr_base_chs, int),
         pallas_warp_max_bytes=pallas_warp_max_bytes,
         pallas_warp_band=pallas_band,
-        pallas_costreg=pallas_costreg))
+        pallas_costreg=pallas_costreg,
+        pallas_tail=pallas_costreg))
     cascade, _ = make_models(config)
     return cascade
 

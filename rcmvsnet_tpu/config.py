@@ -22,6 +22,9 @@ class BackboneConfig:
     # eval fast path: CostRegNet 3D convs via the Pallas channel-major
     # matmul kernel (ops/pallas_conv3d.py); False = XLA convs
     pallas_costreg: bool = False
+    # eval fast path: fused softmax+depth_regression+confidence tail
+    # (ops/pallas_tail.py); False = unfused XLA ops
+    pallas_tail: bool = False
     # eval conv compute dtype ('bfloat16' for TPU speed); None = float32
     eval_dtype: Optional[str] = None
 

@@ -75,6 +75,7 @@ class _DepthStage(nn.Module):
     use_pallas_warp: bool = False
     pallas_band: int = 24
     costreg_impl: str = "xla"
+    use_pallas_tail: bool = False
 
     @nn.compact
     def __call__(self, features, projs, depth_values, imgs_stage=None,
@@ -114,9 +115,14 @@ class _DepthStage(nn.Module):
 
         cost = CostRegNet(self.base_channels, conv_impl=self.costreg_impl,
                           name="cost_reg")(variance, train)
-        prob_volume = jax.nn.softmax(cost[..., 0].astype(jnp.float32), axis=1)
-        depth = depth_regression(prob_volume, depth_values)
-        conf = photometric_confidence(prob_volume)
+        if self.use_pallas_tail and not train:
+            from ..ops.pallas_tail import fused_depth_tail
+            depth, conf = fused_depth_tail(cost[..., 0], depth_values)
+        else:
+            prob_volume = jax.nn.softmax(cost[..., 0].astype(jnp.float32),
+                                         axis=1)
+            depth = depth_regression(prob_volume, depth_values)
+            conf = photometric_confidence(prob_volume)
         return {"depth": depth, "photometric_confidence": conf, **extras}
 
 
@@ -135,6 +141,9 @@ class CascadeMVSNet(nn.Module):
     # eval fast path: route CostRegNet's 3D convs through the channel-major
     # Pallas kernel (ops/pallas_conv3d.py). No precondition; eval only.
     pallas_costreg: bool = False
+    # eval fast path: fused softmax+regression+confidence tail
+    # (ops/pallas_tail.py). No precondition; eval only.
+    pallas_tail: bool = False
     # eval compute dtype for the conv stacks ('bfloat16' halves conv time
     # and warp bytes; camera geometry, softmax and depth regression stay
     # f32). None keeps float32.
@@ -206,6 +215,7 @@ class CascadeMVSNet(nn.Module):
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
                 pallas_band=self.pallas_warp_band,
                 costreg_impl="pallas3d" if self.pallas_costreg else "xla",
+                use_pallas_tail=self.pallas_tail,
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train, want_volume)
 

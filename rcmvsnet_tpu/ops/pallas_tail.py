@@ -1,0 +1,117 @@
+"""Fused softmax + depth regression + photometric confidence (Pallas TPU).
+
+Why: the cascade tail materializes the f32 probability volume several times
+(softmax, Σp·d, pad+cumsum window, take_along_axis gather) — XLA lowers the
+per-pixel depth-index gather poorly and the tail costs ~35 ms/forward at
+1152×864 (round-2 profile). This kernel reads the regularized cost volume
+ONCE per pixel tile, keeps the depth axis on sublanes, and emits the final
+depth and confidence maps directly:
+
+  * softmax over D in f32 registers (max-subtract, exp, normalize);
+  * depth = Σ p·d with the per-pixel hypothesis planes streamed alongside;
+  * confidence = 4-window probability mass at the soft-argmax index — the
+    window sums are three sublane-shifted adds and the gather is a one-hot
+    contraction over D (D ≤ 48, full-lane VPU work, no scatter/gather).
+
+Parity targets: depth_regression (/root/reference/models/modules.py:519-525)
+and the photometric-confidence block
+(/root/reference/models/casmvsnet.py:115-122): pad (1, 2) along depth,
+sliding window-4 sum, gathered at trunc(Σ p·i) clamped to [0, D−1].
+Numerical contract: matches models/cascade.py's unfused
+softmax/depth_regression/photometric_confidence path (tests/test_pallas_tail.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _tail_kernel(cost_ref, dv_ref, depth_ref, conf_ref, *, ndepth: int):
+    c = cost_ref[:].astype(jnp.float32)            # [D, L]
+    dv = dv_ref[:].astype(jnp.float32)             # [D, L]
+    m = jnp.max(c, axis=0, keepdims=True)
+    e = jnp.exp(c - m)
+    s = jnp.sum(e, axis=0, keepdims=True)
+    p = e / s                                      # [D, L] softmax over depth
+
+    depth_ref[0, :] = jnp.sum(p * dv, axis=0)
+
+    # sum4[d] = p[d−1] + p[d] + p[d+1] + p[d+2] (zeros outside), matching the
+    # reference's pad-(1,2) + window-4 sliding sum along depth
+    D = ndepth
+    z1 = jnp.zeros((1, p.shape[1]), p.dtype)
+    z2 = jnp.zeros((2, p.shape[1]), p.dtype)
+    pm1 = jnp.concatenate([z1, p[:D - 1]], axis=0)
+    pp1 = jnp.concatenate([p[1:], z1], axis=0)
+    pp2 = jnp.concatenate([p[2:], z2], axis=0)
+    sum4 = pm1 + p + pp1 + pp2                     # [D, L]
+
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    idx_f = jnp.sum(p * iota_i.astype(jnp.float32), axis=0,
+                    keepdims=True)                          # [1, L]
+    # trunc-toward-zero == torch .long() for the non-negative soft-argmax
+    idx = jnp.clip(idx_f.astype(jnp.int32), 0, D - 1)
+    onehot = (iota_i == idx).astype(p.dtype)
+    conf_ref[0, :] = jnp.sum(sum4 * onehot, axis=0)
+
+
+def _tail_single(cost: jnp.ndarray, depth_values: jnp.ndarray,
+                 lane_tile: int, interpret: bool):
+    """cost, depth_values: [D, H, W] (single batch element)."""
+    D, H, W = cost.shape
+    lanes = H * W
+    L = min(lane_tile, _round_up(lanes, 128))
+    n_tiles = -(-lanes // L)
+    pad = n_tiles * L - lanes
+
+    c2 = jnp.pad(cost.reshape(D, lanes).astype(jnp.float32),
+                 ((0, 0), (0, pad)))
+    d2 = jnp.pad(depth_values.reshape(D, lanes).astype(jnp.float32),
+                 ((0, 0), (0, pad)))
+
+    kern = functools.partial(_tail_kernel, ndepth=D)
+    depth, conf = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((D, L), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, L), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_tiles * L), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles * L), jnp.float32),
+        ],
+        # ~6 f32 [D, L] live vectors (p, shifted sums, one-hot) + double-
+        # buffered inputs; the 16 MB scoped default is too small at D=48
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(100 * 1024 * 1024,
+                                     12 * D * L * 4 + 8 * 1024 * 1024))),
+        **({"interpret": True} if interpret else {}),
+    )(c2, d2)
+    return (depth[0, :lanes].reshape(H, W), conf[0, :lanes].reshape(H, W))
+
+
+def fused_depth_tail(cost: jnp.ndarray, depth_values: jnp.ndarray,
+                     lane_tile: int = 8192, interpret: bool = False):
+    """Fused softmax → (depth, photometric_confidence) over the depth axis.
+
+    cost: [B, D, H, W] regularized cost volume (any float dtype; softmax in
+    f32); depth_values: [B, D, H, W] per-pixel hypothesis planes.
+    Returns (depth [B, H, W] f32, confidence [B, H, W] f32) — identical to
+    softmax + depth_regression + photometric_confidence in models/cascade.py.
+    """
+    fn = functools.partial(_tail_single, lane_tile=lane_tile,
+                           interpret=interpret)
+    return jax.vmap(fn)(cost, depth_values)

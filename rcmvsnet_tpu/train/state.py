@@ -34,6 +34,7 @@ def make_models(config: Config):
         pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes,
         pallas_warp_band=config.backbone.pallas_warp_band,
         pallas_costreg=config.backbone.pallas_costreg,
+        pallas_tail=config.backbone.pallas_tail,
         eval_dtype=config.backbone.eval_dtype)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
