@@ -113,7 +113,11 @@ class _DepthStage(nn.Module):
             extras["volume_feature_no_ref"] = jnp.concatenate(
                 warped_imgs + [var_no_ref], axis=-1)
 
-        cost = CostRegNet(self.base_channels, conv_impl=self.costreg_impl,
+        impl = self.costreg_impl
+        if impl == "lanes" and not all(
+                d % 8 == 0 for d in variance.shape[1:4]):
+            impl = "pallas3d"   # lanes layout needs D/h/w divisible by 8
+        cost = CostRegNet(self.base_channels, conv_impl=impl,
                           name="cost_reg")(variance, train)
         if self.use_pallas_tail and not train:
             from ..ops.pallas_tail import fused_depth_tail
@@ -214,7 +218,7 @@ class CascadeMVSNet(nn.Module):
             stage_out = _DepthStage(
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
                 pallas_band=self.pallas_warp_band,
-                costreg_impl="pallas3d" if self.pallas_costreg else "xla",
+                costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail,
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train, want_volume)

@@ -115,7 +115,7 @@ def main():
         print(f"stage{si+1} warp+var [D={nd} {h}x{w} C={C}]: {t:.1f} ms")
         var = run_warp(features, projs, dv)
 
-        reg = CostRegNet(8, conv_impl="pallas3d" if on_tpu else "xla")
+        reg = CostRegNet(8, conv_impl="lanes" if on_tpu else "xla")
         rkey = f"stage{si+1}"
         rvars = {"params": variables["params"][rkey]["cost_reg"],
                  "batch_stats": variables["batch_stats"][rkey]["cost_reg"]}
