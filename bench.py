@@ -29,15 +29,32 @@ def main():
     from rcmvsnet_tpu.train.state import make_models
 
     on_tpu = jax.default_backend() == "tpu"
+    batch = make_synthetic_batch(B=1, V=VIEWS, H=H, W=W, ndepth=NDEPTH, seed=0)
+
+    # smallest (rows, band) the rig's geometry satisfies — FLOPs scale
+    # with the band, so try the tight configs first
+    rows, band = 8, 16
+    if on_tpu:
+        from rcmvsnet_tpu.ops.pallas_warp2 import check_group_coverage
+        for r_try, b_try in [(4, 8), (8, 12), (8, 16), (8, 24)]:
+            ok = all(check_group_coverage(
+                batch["proj_matrices"][f"stage{s}"], batch["depth_values"],
+                H // sc, W // sc, r_try, b_try)
+                for s, sc in [(1, 4), (2, 2), (3, 1)])
+            if ok:
+                rows, band = r_try, b_try
+                break
+        print(f"warp config: rows={rows} band={band}",
+              file=__import__("sys").stderr)
+
     config = Config(backbone=BackboneConfig(
         pallas_warp_max_bytes=17 * 1024 * 1024 if on_tpu else 0,
-        pallas_warp_band=16,  # the bench rig satisfies 16-row coverage
+        pallas_warp_band=band,
+        pallas_warp_rows=rows,
         pallas_costreg=on_tpu,
         pallas_tail=on_tpu,
         eval_dtype="bfloat16" if on_tpu else None))
     cascade, _ = make_models(config)
-
-    batch = make_synthetic_batch(B=1, V=VIEWS, H=H, W=W, ndepth=NDEPTH, seed=0)
     imgs = jnp.asarray(batch["imgs"])
     projs = jax.tree_util.tree_map(jnp.asarray, batch["proj_matrices"])
     depth_values = jnp.asarray(batch["depth_values"])

@@ -72,7 +72,8 @@ def _save_rainbow(path, arr, vmin, vmax):
     cv2.imwrite(str(path), img)
 
 
-def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24):
+def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24,
+                pallas_rows: int = 8):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
     pallas_costreg = (not getattr(args, "no_pallas", False)
                       and jax.default_backend() == "tpu")
@@ -82,6 +83,7 @@ def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24):
         cr_base_chs=csv(args.cr_base_chs, int),
         pallas_warp_max_bytes=pallas_warp_max_bytes,
         pallas_warp_band=pallas_band,
+        pallas_warp_rows=pallas_rows,
         pallas_costreg=pallas_costreg,
         pallas_tail=pallas_costreg))
     cascade, _ = make_models(config)
@@ -89,24 +91,27 @@ def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24):
 
 
 def pick_fast_path(args, sample):
-    """Enable the Pallas warp when on TPU, not disabled, and the scan's
-    geometry satisfies the kernel's band-coverage precondition with the
-    smallest (fastest) band. Returns (pallas_warp_max_bytes, band)."""
+    """Enable the fused Pallas warp when on TPU, not disabled, and the
+    scan's geometry satisfies the kernel's band-coverage precondition with
+    the smallest (fastest) (rows-per-step, band) config. Returns
+    (pallas_warp_max_bytes, band, rows). The warp FLOPs scale with the
+    band, so the tight configs are tried first."""
     if getattr(args, "no_pallas", False) or jax.default_backend() != "tpu":
-        return 0, 24
-    from ..ops.pallas_warp import check_band_coverage
+        return 0, 24, 8
+    from ..ops.pallas_warp2 import check_group_coverage
     H, W = sample["imgs"].shape[1:3]
-    for band in (16, 24, 32):
-        ok = True
+    for rows, band in ((4, 8), (8, 12), (8, 16), (8, 24), (8, 32)):
+        ok = all((H // scale) % rows == 0 for scale in (4, 2, 1))
         for stage, scale in [("stage1", 4), ("stage2", 2), ("stage3", 1)]:
-            ok = ok and check_band_coverage(
+            ok = ok and check_group_coverage(
                 sample["proj_matrices"][stage][None],
-                sample["depth_values"][None], H // scale, W // scale, band)
+                sample["depth_values"][None], H // scale, W // scale,
+                rows, band)
         if ok:
-            print(f"pallas fast path: ON (band {band})")
-            return 17 * 1024 * 1024, band
+            print(f"pallas fast path: ON (rows {rows}, band {band})")
+            return 17 * 1024 * 1024, band, rows
     print("pallas fast path: off (band coverage)")
-    return 0, 24
+    return 0, 24, 8
 
 
 def load_variables(cascade, ckpt_path, sample):

@@ -19,6 +19,7 @@ class BackboneConfig:
     # Pallas warp kernel; 0 disables (CPU/tests). 17 MB covers all 3 DTU stages.
     pallas_warp_max_bytes: int = 0
     pallas_warp_band: int = 24
+    pallas_warp_rows: int = 8
     # eval fast path: CostRegNet 3D convs via the Pallas channel-major
     # matmul kernel (ops/pallas_conv3d.py); False = XLA convs
     pallas_costreg: bool = False

@@ -74,6 +74,7 @@ class _DepthStage(nn.Module):
     base_channels: int = 8
     use_pallas_warp: bool = False
     pallas_band: int = 24
+    pallas_warp_rows: int = 8
     costreg_impl: str = "xla"
     use_pallas_tail: bool = False
 
@@ -93,11 +94,31 @@ class _DepthStage(nn.Module):
         ref_proj = projs[:, 0]
         src_projs = [projs[:, i] for i in range(1, V)]
 
+        D = depth_values.shape[1]
+        # fully-fused fast path: one kernel builds the multi-view variance
+        # straight into the cost regularizer's lane layout (no warped
+        # volumes, no accumulation passes, no layout conversion)
+        fused = (self.use_pallas_warp and self.costreg_impl == "lanes"
+                 and not train and not want_volume and B == 1
+                 and D % 8 == 0 and h % self.pallas_warp_rows == 0
+                 and h % 8 == 0 and w % 8 == 0)
+        if fused:
+            from ..ops.pallas_costreg import make_layout
+            from ..ops.pallas_warp2 import plane_sweep_variance_lanes
+            lay = make_layout(h, w)
+            var_lanes = plane_sweep_variance_lanes(
+                features[0], projs[0], depth_values[0], lay,
+                rows_per_step=self.pallas_warp_rows, band=self.pallas_band)
+            cost = CostRegNet(self.base_channels, conv_impl="lanes",
+                              name="cost_reg")(
+                var_lanes, train, lanes_dims=(D, h, w, C))
+            return self._tail(cost, depth_values, train, {})
+
         if self.use_pallas_warp and not train:
             from ..ops.pallas_warp import plane_sweep_variance_fast
             variance = plane_sweep_variance_fast(
                 ref_feat, src_feats, src_projs, ref_proj, depth_values,
-                band=self.pallas_band)
+                band=max(self.pallas_band, 16))
         else:
             variance, _ = plane_sweep_variance(
                 ref_feat, src_feats, src_projs, ref_proj, depth_values)
@@ -119,6 +140,9 @@ class _DepthStage(nn.Module):
             impl = "pallas3d"   # lanes layout needs D/h/w divisible by 8
         cost = CostRegNet(self.base_channels, conv_impl=impl,
                           name="cost_reg")(variance, train)
+        return self._tail(cost, depth_values, train, extras)
+
+    def _tail(self, cost, depth_values, train, extras):
         if self.use_pallas_tail and not train:
             from ..ops.pallas_tail import fused_depth_tail
             depth, conf = fused_depth_tail(cost[..., 0], depth_values)
@@ -139,9 +163,14 @@ class CascadeMVSNet(nn.Module):
     # TPU eval fast path: Pallas hat-matmul warp (ops/pallas_warp.py) for
     # stages whose bf16 source feature map fits VMEM. 0 disables.
     pallas_warp_max_bytes: int = 0
-    # y-band rows per 8-row group; smaller = faster, must satisfy the
-    # coverage precondition (check_band_coverage picks per dataset)
+    # y-band rows per row group; smaller = faster, must satisfy the
+    # coverage precondition (check_band_coverage / check_group_coverage
+    # picks per dataset)
     pallas_warp_band: int = 24
+    # output rows per warp-kernel grid step (the row-group size the band
+    # must cover); 4 halves the hat-matmul FLOPs vs 8 when the geometry
+    # allows band=8
+    pallas_warp_rows: int = 8
     # eval fast path: route CostRegNet's 3D convs through the channel-major
     # Pallas kernel (ops/pallas_conv3d.py). No precondition; eval only.
     pallas_costreg: bool = False
@@ -218,6 +247,7 @@ class CascadeMVSNet(nn.Module):
             stage_out = _DepthStage(
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
                 pallas_band=self.pallas_warp_band,
+                pallas_warp_rows=self.pallas_warp_rows,
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail,
                 name=f"stage{stage_idx + 1}")(

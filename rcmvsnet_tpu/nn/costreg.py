@@ -90,13 +90,13 @@ class CostRegNet(nn.Module):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, lanes_dims=None):
         c = self.base_channels
         k, s1, s2, p = (3, 3, 3), (1, 1, 1), (2, 2, 2), (1, 1, 1)
         impl = self.conv_impl if not train else "xla"
         if impl == "lanes":
             from ..ops.pallas_costreg import costreg_lanes
-            ci = x.shape[-1]
+            ci = lanes_dims[-1] if lanes_dims is not None else x.shape[-1]
             blk = lambda ci_, co_, dec, name: _LanesBlockP(
                 ci_, co_, dec, name=name)()
             folded = {
@@ -113,7 +113,7 @@ class CostRegNet(nn.Module):
                 "prob": (_PlainP((3, 3, 3, c, 1), name="prob")(),
                          jnp.zeros((1,), jnp.float32)),
             }
-            return costreg_lanes(x, folded)[..., None]
+            return costreg_lanes(x, folded, lanes_dims=lanes_dims)[..., None]
         conv = lambda f, s, name: ConvBNAct(f, k, s, p, name=name,
                                             conv_impl=impl)
         deconv = lambda f, name: DeconvBNAct(f, k, s2, p, (1, 1, 1),

@@ -48,7 +48,12 @@ from .pallas_conv3d import _pack_weights, _round_up
 
 @dataclasses.dataclass(frozen=True)
 class LaneLayout:
-    """Static lane geometry of one resolution level."""
+    """Static lane geometry of one resolution level.
+
+    Rows are 128-lane aligned: each padded row holds [zero border | w real
+    pixels | zero border + tail] in wp = round_up(w+2, 128) lanes. The
+    alignment lets producers (the fused warp kernel) write row-granular
+    Element blocks directly into this layout."""
     h: int          # unpadded spatial height
     w: int
     L: int          # lane tile (multiple of 128)
@@ -61,7 +66,7 @@ class LaneLayout:
 
     @property
     def wp(self) -> int:
-        return self.w + 2
+        return _round_up(self.w + 2, 128)
 
     @property
     def lanes0(self) -> int:
@@ -73,18 +78,20 @@ class LaneLayout:
 
 
 def make_layout(h: int, w: int, lane_tile: int = 32768) -> LaneLayout:
-    lanes0 = (h + 2) * (w + 2)
+    wp = _round_up(w + 2, 128)
+    lanes0 = (h + 2) * wp
     L = min(_round_up(lane_tile, 128), _round_up(lanes0, 128))
     n_tiles = -(-lanes0 // L)
-    halo = _round_up(w + 3, 128)
+    halo = wp + 128
     return LaneLayout(h, w, L, n_tiles, halo)
 
 
 @functools.lru_cache(maxsize=64)
 def _border_mask_np(lay: LaneLayout):
-    """[1, lanesp] f32 trace-time constant: 1 on interior (hp, wp) lanes."""
+    """[1, lanesp] f32 trace-time constant: 1 on interior lanes (rows
+    1..h, cols 1..w of each aligned row)."""
     m2 = np.zeros((lay.hp, lay.wp), np.float32)
-    m2[1:-1, 1:-1] = 1.0
+    m2[1:-1, 1:1 + lay.w] = 1.0
     m = np.zeros((1, lay.lanesp), np.float32)
     m[0, lay.halo:lay.halo + lay.lanes0] = m2.reshape(-1)
     return m
@@ -105,7 +112,8 @@ def to_lanes(x: jnp.ndarray, lay: LaneLayout, ci_p: int,
     z-borders, spatial borders, channel padding and lane margins."""
     D, h, w, C = x.shape
     assert (h, w) == (lay.h, lay.w), ((h, w), lay)
-    xp = jnp.pad(x.astype(dtype), ((1, 1), (1, 1), (1, 1), (0, ci_p - C)))
+    xp = jnp.pad(x.astype(dtype), ((1, 1), (1, 1), (1, lay.wp - w - 1),
+                                   (0, ci_p - C)))
     cm = jnp.transpose(xp, (0, 3, 1, 2)).reshape(D + 2, ci_p, lay.lanes0)
     return jnp.pad(cm, ((0, 0), (0, 0),
                         (lay.halo, lay.lanesp - lay.halo - lay.lanes0)))
@@ -114,7 +122,7 @@ def to_lanes(x: jnp.ndarray, lay: LaneLayout, ci_p: int,
 def cost_from_lanes(y: jnp.ndarray, lay: LaneLayout) -> jnp.ndarray:
     """[D+2, Co', lanesp] → channel-0 interior [D, h, w]."""
     interior = y[1:-1, 0, lay.halo:lay.halo + lay.lanes0]
-    return interior.reshape(-1, lay.hp, lay.wp)[:, 1:-1, 1:-1]
+    return interior.reshape(-1, lay.hp, lay.wp)[:, 1:-1, 1:1 + lay.w]
 
 
 @functools.lru_cache(maxsize=64)
@@ -123,8 +131,9 @@ def _col_subsample_mat(wp: int, wp2: int):
     XLA lowers minor-dim strided slices at ~10 GB/s on this chip; the
     de-interleave as an MXU matmul is ~20× faster."""
     S = np.zeros((wp, wp2), np.float32)
-    for j in range((wp2 - 2)):
-        S[2 * j + 1, j + 1] = 1.0
+    for j in range(wp2 - 2):
+        if 2 * j + 1 < wp:      # beyond-w sources are zero pad lanes
+            S[2 * j + 1, j + 1] = 1.0
     return S
 
 
@@ -133,7 +142,8 @@ def _col_stuff_mat(wp: int, wp2: int):
     """[wp, wp2] 0/1: padded col x ∈ [1, w] → dilated padded col 2x−1."""
     S = np.zeros((wp, wp2), np.float32)
     for x in range(1, wp - 1):
-        S[x, 2 * x - 1] = 1.0
+        if 2 * x - 1 < wp2:     # beyond-w sources are zero pad lanes
+            S[x, 2 * x - 1] = 1.0
     return S
 
 
@@ -317,15 +327,23 @@ def fold_costreg_variables(params, batch_stats):
 
 def costreg_lanes(variance: jnp.ndarray, folded, *,
                   lane_tile: int = 32768, compute_dtype=jnp.bfloat16,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False,
+                  lanes_dims=None) -> jnp.ndarray:
     """Full CostRegNet eval forward on the lanes layout.
 
-    variance: [B, D, h, w, C] NDHWC cost volume; folded: {layer name:
-    (kernel, bias)} with BN pre-folded (fold_costreg_variables).
-    Returns the 1-channel cost volume [B, D, h, w] f32, numerically
-    matching CostRegNet(conv_impl='xla')(x)[..., 0] in eval mode.
+    variance: [B, D, h, w, C] NDHWC cost volume — OR, when lanes_dims
+    = (D, h, w, C) is given, an already-lanes-resident [D+2, C', lanesp]
+    volume (e.g. straight from ops.pallas_warp2) and the entry conversion
+    is skipped. folded: {layer name: (kernel, bias)} with BN pre-folded
+    (fold_costreg_variables). Returns the 1-channel cost volume
+    [B, D, h, w] f32, numerically matching
+    CostRegNet(conv_impl='xla')(x)[..., 0] in eval mode.
     """
-    B, D, h, w, C = variance.shape
+    if lanes_dims is not None:
+        D, h, w, C = lanes_dims
+        B = 1
+    else:
+        B, D, h, w, C = variance.shape
     assert D % 8 == 0 and h % 8 == 0 and w % 8 == 0, (D, h, w)
 
     lays = [make_layout(h >> i, w >> i, lane_tile) for i in range(4)]
@@ -335,7 +353,10 @@ def costreg_lanes(variance: jnp.ndarray, folded, *,
                   else jnp.float32)
 
     def single(var):
-        x = to_lanes(var, lays[0], _round_up(C, 8), lane_dtype)
+        if lanes_dims is not None:
+            x = var
+        else:
+            x = to_lanes(var, lays[0], _round_up(C, 8), lane_dtype)
         conv0 = cv(x, *folded["conv0"], lays[0])
         t = cv(conv0, *folded["conv1"], lays[0], z_stride=2)
         t = subsample_hw(t, lays[0], lays[1])
@@ -356,4 +377,6 @@ def costreg_lanes(variance: jnp.ndarray, folded, *,
                   out_dtype=jnp.float32)
         return cost_from_lanes(cost, lays[0])
 
+    if lanes_dims is not None:
+        return single(variance)[None]
     return jnp.stack([single(variance[b]) for b in range(B)])

@@ -33,6 +33,7 @@ def make_models(config: Config):
         grad_detach=config.backbone.grad_detach,
         pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes,
         pallas_warp_band=config.backbone.pallas_warp_band,
+        pallas_warp_rows=config.backbone.pallas_warp_rows,
         pallas_costreg=config.backbone.pallas_costreg,
         pallas_tail=config.backbone.pallas_tail,
         eval_dtype=config.backbone.eval_dtype)

@@ -106,13 +106,23 @@ def main():
                   + jnp.linspace(-1.0, 1.0, nd)[None, :, None, None]
                   * 10.0 * jnp.ones((B, nd, h, w)))
 
+        from rcmvsnet_tpu.ops.pallas_costreg import make_layout
+        from rcmvsnet_tpu.ops.pallas_warp2 import plane_sweep_variance_lanes
+        lay = make_layout(h, w)
+
+        @jax.jit
+        def run_warp2(features, projs, dv):
+            return plane_sweep_variance_lanes(
+                features[0], projs[0], dv[0], lay, rows_per_step=4, band=8)
+        t = timeit(run_warp2, features, projs, dv)
+        print(f"stage{si+1} fused warp+var lanes [D={nd} {h}x{w} C={C}]: "
+              f"{t:.1f} ms")
+
         @jax.jit
         def run_warp(features, projs, dv):
             return plane_sweep_variance_fast(
                 features[:, 0], features[:, 1:], projs[:, 1:], projs[:, 0],
                 dv, band=16)
-        t = timeit(run_warp, features, projs, dv)
-        print(f"stage{si+1} warp+var [D={nd} {h}x{w} C={C}]: {t:.1f} ms")
         var = run_warp(features, projs, dv)
 
         reg = CostRegNet(8, conv_impl="lanes" if on_tpu else "xla")

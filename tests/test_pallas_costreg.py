@@ -35,7 +35,7 @@ def _xla_deconv(x, kernel):
 def _from_lanes(y, lay, co):
     """[P, C', lanesp] → NDHWC interior [D, h, w, co]."""
     v = np.asarray(y)[1:-1, :co, lay.halo:lay.halo + lay.lanes0]
-    v = v.reshape(v.shape[0], co, lay.hp, lay.wp)[:, :, 1:-1, 1:-1]
+    v = v.reshape(v.shape[0], co, lay.hp, lay.wp)[:, :, 1:-1, 1:1 + lay.w]
     return np.transpose(v, (0, 2, 3, 1))
 
 

@@ -1,0 +1,92 @@
+"""Fused warp+variance lanes kernel vs the XLA reference path — interpret
+mode on CPU. Parity target: ops.warp.plane_sweep_variance (itself
+oracle-tested against the literal torch port in tests/test_warp.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcmvsnet_tpu.core.geometry import (compose_projection,
+                                        linspace_depth_samples)
+from rcmvsnet_tpu.data.synthetic import make_synthetic_views
+from rcmvsnet_tpu.ops.pallas_costreg import make_layout
+from rcmvsnet_tpu.ops.pallas_warp2 import (check_group_coverage,
+                                           plane_sweep_variance_lanes)
+from rcmvsnet_tpu.ops.warp import plane_sweep_variance
+
+
+def _setup(H=16, W=24, V=4, D=8, seed=3):
+    s = make_synthetic_views(H=H, W=W, V=V, depth0=600.0, seed=seed,
+                             baseline=4.0)
+    rs = np.random.RandomState(seed)
+    C = 8
+    feats = jnp.asarray(rs.randn(V, H, W, C).astype(np.float32))
+    pairs = np.zeros((1, V, 2, 4, 4), np.float32)
+    for v in range(V):
+        pairs[0, v, 0] = s["extrinsics"][v]
+        pairs[0, v, 1, :3, :3] = s["intrinsics"]
+    projs = compose_projection(jnp.asarray(pairs))[0]        # [V, 4, 4]
+    dvals = jnp.linspace(s["depth_min"], s["depth_max"], D)[None]
+    dv = linspace_depth_samples(dvals.astype(jnp.float32), D, H, W)[0]
+    return feats, projs, dv, jnp.asarray(pairs), dvals
+
+
+def _lanes_to_ndhwc(y, lay, C):
+    v = np.asarray(y)[1:-1, :C, lay.halo:lay.halo + lay.lanes0]
+    v = v.reshape(v.shape[0], C, lay.hp, lay.wp)[:, :, 1:-1, 1:1 + lay.w]
+    return np.transpose(v, (0, 2, 3, 1))    # [D, h, w, C]
+
+
+def test_matches_xla_variance():
+    feats, projs, dv, pairs, dvals = _setup()
+    V, H, W, C = feats.shape
+    assert check_group_coverage(pairs, dv[None], H, W, 4, 8)
+    lay = make_layout(H, W, 512)
+    got = plane_sweep_variance_lanes(
+        feats, projs, dv, lay, rows_per_step=4, band=8,
+        compute_dtype=jnp.float32, out_dtype=jnp.float32, interpret=True)
+    ref = feats[0]
+    want, _ = plane_sweep_variance(
+        ref[None], [feats[v][None] for v in range(1, V)],
+        [projs[v][None] for v in range(1, V)], projs[0][None], dv[None])
+    got_nd = _lanes_to_ndhwc(got, lay, C)
+    np.testing.assert_allclose(got_nd, np.asarray(want[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_borders_and_margins_zero():
+    feats, projs, dv, _, _ = _setup()
+    V, H, W, C = feats.shape
+    lay = make_layout(H, W, 512)
+    got = np.asarray(plane_sweep_variance_lanes(
+        feats, projs, dv, lay, rows_per_step=4, band=8,
+        compute_dtype=jnp.float32, out_dtype=jnp.float32, interpret=True))
+    D = dv.shape[0]
+    assert got.shape == (D + 2, C, lay.lanesp)
+    # z-border planes and lane margins untouched (zero template)
+    assert np.all(got[0] == 0) and np.all(got[-1] == 0)
+    assert np.all(got[:, :, :lay.halo] == 0)
+    assert np.all(got[:, :, lay.halo + lay.lanes0:] == 0)
+    # border rows/cols within the written planes
+    interior = got[1:-1, :, lay.halo:lay.halo + lay.lanes0].reshape(
+        D, C, lay.hp, lay.wp)
+    assert np.all(interior[:, :, 0] == 0)
+    assert np.all(interior[:, :, -1] == 0)
+    assert np.all(interior[:, :, :, 0] == 0)
+    assert np.all(interior[:, :, :, 1 + lay.w:] == 0)
+
+
+def test_rows8_band16_config():
+    """The fallback (R=8, band=16) config must agree too."""
+    feats, projs, dv, pairs, _ = _setup(H=16, W=16, V=3, D=8)
+    V, H, W, C = feats.shape
+    assert check_group_coverage(pairs, dv[None], H, W, 8, 16)
+    lay = make_layout(H, W, 512)
+    got = plane_sweep_variance_lanes(
+        feats, projs, dv, lay, rows_per_step=8, band=16,
+        compute_dtype=jnp.float32, out_dtype=jnp.float32, interpret=True)
+    want, _ = plane_sweep_variance(
+        feats[0][None], [feats[v][None] for v in range(1, V)],
+        [projs[v][None] for v in range(1, V)], projs[0][None], dv[None])
+    np.testing.assert_allclose(_lanes_to_ndhwc(got, lay, C),
+                               np.asarray(want[0]), rtol=1e-4, atol=1e-4)
