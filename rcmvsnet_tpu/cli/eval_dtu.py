@@ -73,7 +73,7 @@ def _save_rainbow(path, arr, vmin, vmax):
 
 
 def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24,
-                pallas_rows: int = 8):
+                pallas_rows: int = 8, pallas_xband: int = 0):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
     pallas_costreg = (not getattr(args, "no_pallas", False)
                       and jax.default_backend() == "tpu")
@@ -84,6 +84,7 @@ def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24,
         pallas_warp_max_bytes=pallas_warp_max_bytes,
         pallas_warp_band=pallas_band,
         pallas_warp_rows=pallas_rows,
+        pallas_warp_xband=pallas_xband,
         pallas_costreg=pallas_costreg,
         pallas_tail=pallas_costreg))
     cascade, _ = make_models(config)
@@ -94,24 +95,39 @@ def pick_fast_path(args, sample):
     """Enable the fused Pallas warp when on TPU, not disabled, and the
     scan's geometry satisfies the kernel's band-coverage precondition with
     the smallest (fastest) (rows-per-step, band) config. Returns
-    (pallas_warp_max_bytes, band, rows). The warp FLOPs scale with the
-    band, so the tight configs are tried first."""
+    (pallas_warp_max_bytes, band, rows, xband). The warp FLOPs scale with
+    the band, so the tight configs are tried first."""
     if getattr(args, "no_pallas", False) or jax.default_backend() != "tpu":
-        return 0, 24, 8
+        return 0, 24, 8, 0
     from ..ops.pallas_warp2 import check_group_coverage
     H, W = sample["imgs"].shape[1:3]
+    stages = [("stage1", 4), ("stage2", 2), ("stage3", 1)]
     for rows, band in ((4, 8), (8, 12), (8, 16), (8, 24), (8, 32)):
         ok = all((H // scale) % rows == 0 for scale in (4, 2, 1))
-        for stage, scale in [("stage1", 4), ("stage2", 2), ("stage3", 1)]:
+        for stage, scale in stages:
             ok = ok and check_group_coverage(
                 sample["proj_matrices"][stage][None],
                 sample["depth_values"][None], H // scale, W // scale,
                 rows, band)
         if ok:
-            print(f"pallas fast path: ON (rows {rows}, band {band})")
-            return 17 * 1024 * 1024, band, rows
+            # smallest x-band window whose coverage holds on every stage
+            # where the alignment gate (models/cascade.py) activates it
+            xband = 0
+            for xb in (256, 384, 512, 640):
+                if all(check_group_coverage(
+                        sample["proj_matrices"][stage][None],
+                        sample["depth_values"][None], H // sc, W // sc,
+                        rows, band, x_band=xb)
+                        for stage, sc in stages
+                        if xb < W // sc and xb % 128 == 0
+                        and (W // sc - xb) % 128 == 0):
+                    xband = xb
+                    break
+            print(f"pallas fast path: ON (rows {rows}, band {band}, "
+                  f"xband {xband})")
+            return 17 * 1024 * 1024, band, rows, xband
     print("pallas fast path: off (band coverage)")
-    return 0, 24, 8
+    return 0, 24, 8, 0
 
 
 def load_variables(cascade, ckpt_path, sample):

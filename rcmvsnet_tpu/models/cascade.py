@@ -75,6 +75,7 @@ class _DepthStage(nn.Module):
     use_pallas_warp: bool = False
     pallas_band: int = 24
     pallas_warp_rows: int = 8
+    pallas_warp_xband: int = 0   # 0 = dense x contraction
     costreg_impl: str = "xla"
     use_pallas_tail: bool = False
 
@@ -106,9 +107,17 @@ class _DepthStage(nn.Module):
             from ..ops.pallas_costreg import make_layout
             from ..ops.pallas_warp2 import plane_sweep_variance_lanes
             lay = make_layout(h, w)
+            # x-banding needs 128-aligned window starts clipped to
+            # w−x_band — only apply at stages whose width keeps that
+            # alignment (full-res 1152 does; 576/288 don't)
+            xb = self.pallas_warp_xband or None
+            if xb is not None and not (xb < w and xb % 128 == 0
+                                       and (w - xb) % 128 == 0):
+                xb = None
             var_lanes = plane_sweep_variance_lanes(
                 features[0], projs[0], depth_values[0], lay,
-                rows_per_step=self.pallas_warp_rows, band=self.pallas_band)
+                rows_per_step=self.pallas_warp_rows, band=self.pallas_band,
+                x_band=xb)
             cost = CostRegNet(self.base_channels, conv_impl="lanes",
                               name="cost_reg")(
                 var_lanes, train, lanes_dims=(D, h, w, C))
@@ -171,6 +180,10 @@ class CascadeMVSNet(nn.Module):
     # must cover); 4 halves the hat-matmul FLOPs vs 8 when the geometry
     # allows band=8
     pallas_warp_rows: int = 8
+    # static x-band (source columns per 128-aligned window) for the warp's
+    # hat contraction; 0 = dense over the full row. 384 cuts the stage-3
+    # matmul 3x; needs check_group_coverage(x_band) per scan
+    pallas_warp_xband: int = 0
     # eval fast path: route CostRegNet's 3D convs through the channel-major
     # Pallas kernel (ops/pallas_conv3d.py). No precondition; eval only.
     pallas_costreg: bool = False
@@ -248,6 +261,7 @@ class CascadeMVSNet(nn.Module):
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
                 pallas_band=self.pallas_warp_band,
                 pallas_warp_rows=self.pallas_warp_rows,
+                pallas_warp_xband=self.pallas_warp_xband,
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail,
                 name=f"stage{stage_idx + 1}")(

@@ -56,30 +56,53 @@ def _coords_for_view(proj_rel, depth_values, h, w, wp):
     """Pixel-space sample coords in the aligned-row lane space.
 
     Returns (px, py) each [D, h, wp] f32: lane x ∈ [1, w+1) holds the
-    coords of real pixel x−1; border/tail lanes hold px = −5 (zero hat
-    weight) and an edge-replicated py (keeps the in-kernel band anchor
-    unaffected by padding)."""
+    coords of real pixel x−1; border/tail lanes replicate the row-edge
+    coords so the in-kernel band anchors (y-band, x-band) are unaffected
+    by padding. Their nonzero contributions are killed by the border mask
+    applied to the final variance."""
     px, py = _pixel_coords(proj_rel, depth_values, h, w)   # [1, D, h, w]
     px, py = px[0], py[0]
-    px = jnp.pad(px, ((0, 0), (0, 0), (1, wp - w - 1)), constant_values=-5.0)
+    px = jnp.pad(px, ((0, 0), (0, 0), (1, wp - w - 1)), mode="edge")
     py = jnp.pad(py, ((0, 0), (0, 0), (1, wp - w - 1)), mode="edge")
     return px, py
 
 
-def _warp_var_kernel(px_ref, py_ref, tmpl_ref, src_ref, out_ref, *,
-                     views: int, band: int, C: int, h: int, w: int,
-                     R: int, wp: int, compute_dtype):
+@functools.lru_cache(maxsize=32)
+def _row_mask_np(R: int, wp: int, w: int):
+    """[1, R·wp] f32: 1 on real-pixel lanes (col 1..w of each row)."""
+    m = np.zeros((1, R, wp), np.float32)
+    m[0, :, 1:1 + w] = 1.0
+    return m.reshape(1, R * wp)
+
+
+def _warp_var_kernel(px_ref, py_ref, mask_ref, tmpl_ref, src_ref, out_ref,
+                     *, views: int, band: int, C: int, h: int, w: int,
+                     R: int, wp: int, x_band: int | None, x_tile: int,
+                     x_align: int, compute_dtype):
     """One step: variance over all views for (depth plane, R-row group).
 
     src_ref: [V·h·C, w] resident stacked feature maps; px/py:
-    [1, 1, V, R·wp]; out: [1, C, R·wp]."""
+    [1, 1, V, R·wp]; mask: [1, R·wp] real-pixel-lane mask;
+    out: [1, C, R·wp].
+
+    With x_band set (and < w), the w-wide hat contraction is replaced by
+    per-x-tile windows: for each x_tile-column tile of every row, only an
+    x_align-aligned x_band-wide slice of the source row band enters the
+    matmul — the hat weights outside it are provably zero when the
+    check_group_coverage(x_band) precondition holds."""
     lanes = R * wp
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    kx = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0).astype(
-        jnp.float32)
+    banded_x = x_band is not None and x_band < w
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (band * C, lanes), 0) // C
+    if banded_x:
+        n_xt = wp // x_tile
+        kx_rel = jax.lax.broadcasted_iota(
+            jnp.int32, (x_band, R * x_tile), 0).astype(jnp.float32)
+    else:
+        kx = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0).astype(
+            jnp.float32)
 
     acc_s = jnp.zeros((C, lanes), jnp.float32)
     acc_q = jnp.zeros((C, lanes), jnp.float32)
@@ -88,23 +111,59 @@ def _warp_var_kernel(px_ref, py_ref, tmpl_ref, src_ref, out_ref, *,
         py = py_ref[0, 0, v:v + 1, :]
         ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
                         0, h - band)
-        rows = src_ref[pl.ds((v * h + ymin) * C, band * C), :]
-        rows = rows.astype(compute_dtype)                 # [band·C, w]
-        hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(px - kx))  # [w, lanes]
-        out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
-                        preferred_element_type=jnp.float32,
-                        precision=precision)              # [band·C, lanes]
         jy = (sub_i + ymin).astype(jnp.float32)
-        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py - jy))
-        wgt = out_x * hat_y
-        con = None
-        for s in range(band):
-            piece = wgt[s * C:(s + 1) * C, :]
-            con = piece if con is None else con + piece   # [C, lanes]
+        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py - jy))  # [band·C, lanes]
+        if not banded_x:
+            rows = src_ref[pl.ds((v * h + ymin) * C, band * C), :]
+            rows = rows.astype(compute_dtype)             # [band·C, w]
+            hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(px - kx))
+            out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
+                            preferred_element_type=jnp.float32,
+                            precision=precision)          # [band·C, lanes]
+            wgt = out_x * hat_y
+            con = None
+            for s in range(band):
+                piece = wgt[s * C:(s + 1) * C, :]
+                con = piece if con is None else con + piece
+        else:
+            row_pieces = [[] for _ in range(R)]
+            for xt in range(n_xt):
+                # gather this x-tile's lanes from every row
+                pxt = jnp.concatenate(
+                    [px[:, r * wp + xt * x_tile:
+                        r * wp + xt * x_tile + x_tile] for r in range(R)],
+                    axis=1)                                # [1, R·x_tile]
+                pyt = jnp.concatenate(
+                    [hat_y[:, r * wp + xt * x_tile:
+                           r * wp + xt * x_tile + x_tile]
+                     for r in range(R)], axis=1)    # hat_y tile [bC, R·xt]
+                xmin = jnp.clip(
+                    (jnp.floor(jnp.min(pxt)).astype(jnp.int32) // x_align)
+                    * x_align, 0, w - x_band)
+                xmin = pl.multiple_of(xmin, x_align)
+                rows = src_ref[pl.ds((v * h + ymin) * C, band * C),
+                               pl.ds(xmin, x_band)]
+                rows = rows.astype(compute_dtype)        # [band·C, x_band]
+                hat_x = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(pxt - (kx_rel
+                                              + xmin.astype(jnp.float32))))
+                out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
+                                preferred_element_type=jnp.float32,
+                                precision=precision)     # [band·C, R·xt]
+                wgt = out_x * pyt
+                cont = None
+                for s in range(band):
+                    piece = wgt[s * C:(s + 1) * C, :]
+                    cont = piece if cont is None else cont + piece
+                for r in range(R):
+                    row_pieces[r].append(
+                        cont[:, r * x_tile:(r + 1) * x_tile])
+            con = jnp.concatenate(
+                [p for row in row_pieces for p in row], axis=1)
         acc_s = acc_s + con
         acc_q = acc_q + con * con
     mean = acc_s / views
-    var = acc_q / views - mean * mean
+    var = (acc_q / views - mean * mean) * mask_ref[0]
     out_ref[0] = var.astype(out_ref.dtype)
 
 
@@ -112,6 +171,7 @@ def plane_sweep_variance_lanes(
         features: jnp.ndarray, projs: jnp.ndarray,
         depth_values: jnp.ndarray, lay: LaneLayout, *,
         rows_per_step: int = 4, band: int = 8,
+        x_band: int | None = None, x_tile: int = 128, x_align: int = 128,
         compute_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
         interpret: bool = False) -> jnp.ndarray:
     """Variance cost volume in the lanes layout, single batch element.
@@ -129,6 +189,10 @@ def plane_sweep_variance_lanes(
     D = depth_values.shape[0]
     R, wp = rows_per_step, lay.wp
     assert (h, w) == (lay.h, lay.w) and h % R == 0, (features.shape, lay, R)
+    if x_band is not None and x_band < w:
+        # window starts are clipped to w−x_band; the pl.multiple_of hint
+        # is only honest if that bound keeps the alignment
+        assert (w - x_band) % x_align == 0, (w, x_band, x_align)
     n_rg = h // R
 
     # stacked channel-major feature maps: [V·h·C, w] (view-major rows)
@@ -161,8 +225,10 @@ def plane_sweep_variance_lanes(
         lambda d, r: (d + 1, 0, lane_off(H + (1 + r * R) * wp)),
         memory_space=pltpu.VMEM)
 
+    mask = jnp.asarray(_row_mask_np(R, wp, w))
     kern = functools.partial(
         _warp_var_kernel, views=V, band=band, C=C, h=h, w=w, R=R, wp=wp,
+        x_band=x_band, x_tile=x_tile, x_align=x_align,
         compute_dtype=compute_dtype)
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     vmem = int(min(127 * 1024 * 1024, src_bytes + 28 * 1024 * 1024))
@@ -171,23 +237,30 @@ def plane_sweep_variance_lanes(
         grid=(D, n_rg),
         in_specs=[
             coord_spec, coord_spec,
+            pl.BlockSpec((1, R * wp), lambda d, r: (0, 0),
+                         memory_space=pltpu.VMEM),
             out_spec,                 # aliased zero template
             pl.BlockSpec((V * h * C, w), lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((D + 2, C, lay.lanesp), out_dtype),
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         **({"interpret": True} if interpret else {}),
-    )(px_pack, py_pack, template, src2d)
+    )(px_pack, py_pack, mask, template, src2d)
 
 
 def check_group_coverage(proj_pairs, depth_values, height, width,
-                         rows_per_step: int = 4, band: int = 8) -> bool:
+                         rows_per_step: int = 4, band: int = 8,
+                         x_band: int | None = None,
+                         x_tile: int = 128, x_align: int = 128) -> bool:
     """Host-side precondition for the fused kernel: does every view's
-    source-y spread over each R-row group fit the static band? Mirrors
-    ops.pallas_warp.check_band_coverage but for (R, band) pairs.
+    source-y spread over each R-row group fit the static band — and, with
+    x_band set, do all of every (R-row × x_tile-col) tile's nonzero-weight
+    source-x taps land inside the x_align-aligned x_band window the kernel
+    will load? Mirrors ops.pallas_warp.check_band_coverage but for
+    (R, band[, x_band]).
 
     proj_pairs: [B, V, 2, 4, 4]; depth_values: [B, D] or [B, D, H, W].
     """
@@ -197,17 +270,34 @@ def check_group_coverage(proj_pairs, depth_values, height, width,
     if dv.ndim == 2:
         dv = linspace_depth_samples(dv, dv.shape[1], height, width)
     R = rows_per_step
+
+    def _window_ok(coords, extent, win, align):
+        # all in-range taps must land in [start, start+win) where
+        # start = clip((lo // align)·align, 0, extent−win) — the exact
+        # window the kernel slices. start ≤ max(lo, 0) always, so only
+        # the upper edge can escape.
+        lo = jnp.floor(jnp.min(coords, axis=-1))
+        hi = jnp.floor(jnp.max(coords, axis=-1)) + 1.0
+        start = jnp.clip((lo // align) * align, 0.0, float(extent - win))
+        last = jnp.minimum(float(extent - 1), hi)
+        return bool(jax.device_get(jnp.all(last <= start + win - 1)))
+
     ok = True
     for v in range(1, projs.shape[1]):
         rel = relative_projection(projs[:, v], projs[:, 0])
-        _, py = _pixel_coords(rel, dv, height, width)
+        px, py = _pixel_coords(rel, dv, height, width)
         B, D, H, W = py.shape
         groups = py.reshape(B, D, H // R, R * W)
-        lo = jnp.floor(jnp.min(groups, axis=-1))
-        hi = jnp.floor(jnp.max(groups, axis=-1)) + 1.0
-        start = jnp.clip(lo, 0.0, float(height - band))
-        first = jnp.maximum(jnp.maximum(lo, 0.0), start)
-        last = jnp.minimum(float(height - 1), hi)
-        ok = ok and bool(jax.device_get(
-            jnp.all(last - first <= band - 1)))
+        ok = ok and _window_ok(groups, height, band, align=1)
+        if x_band is not None and x_band < width:
+            # pad cols to the kernel's x-tiling (edge mode, matching
+            # _coords_for_view) and group (R rows × x_tile cols)
+            wp = -(-(W + 2) // 128) * 128
+            pxp = jnp.pad(px, ((0, 0), (0, 0), (0, 0), (1, wp - W - 1)),
+                          mode="edge")
+            n_xt = wp // x_tile
+            tiles = pxp.reshape(B, D, H // R, R, n_xt, x_tile)
+            tiles = jnp.moveaxis(tiles, 3, 4).reshape(
+                B, D, H // R, n_xt, R * x_tile)
+            ok = ok and _window_ok(tiles, width, x_band, align=x_align)
     return ok

@@ -34,6 +34,7 @@ def make_models(config: Config):
         pallas_warp_max_bytes=config.backbone.pallas_warp_max_bytes,
         pallas_warp_band=config.backbone.pallas_warp_band,
         pallas_warp_rows=config.backbone.pallas_warp_rows,
+        pallas_warp_xband=config.backbone.pallas_warp_xband,
         pallas_costreg=config.backbone.pallas_costreg,
         pallas_tail=config.backbone.pallas_tail,
         eval_dtype=config.backbone.eval_dtype)

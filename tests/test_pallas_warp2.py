@@ -76,6 +76,27 @@ def test_borders_and_margins_zero():
     assert np.all(interior[:, :, :, 1 + lay.w:] == 0)
 
 
+def test_x_banded_matches_dense():
+    """x_band contraction windows must reproduce the dense hat matmul
+    whenever check_group_coverage(x_band) passes."""
+    feats, projs, dv, pairs, _ = _setup(H=16, W=24, V=4)
+    V, H, W, C = feats.shape
+    # tiny windows + alignment to exercise multi-tile logic on CPU
+    x_band, x_tile, x_align = 16, 8, 8
+    assert check_group_coverage(pairs, dv[None], H, W, 4, 8,
+                                x_band=x_band, x_tile=x_tile,
+                                x_align=x_align)
+    lay = make_layout(H, W, 512)
+    kw = dict(rows_per_step=4, band=8, compute_dtype=jnp.float32,
+              out_dtype=jnp.float32, interpret=True)
+    dense = plane_sweep_variance_lanes(feats, projs, dv, lay, **kw)
+    banded = plane_sweep_variance_lanes(feats, projs, dv, lay,
+                                        x_band=x_band, x_tile=x_tile,
+                                        x_align=x_align, **kw)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_rows8_band16_config():
     """The fallback (R=8, band=16) config must agree too."""
     feats, projs, dv, pairs, _ = _setup(H=16, W=16, V=3, D=8)
