@@ -33,7 +33,7 @@ def main():
 
     # smallest (rows, band) the rig's geometry satisfies — FLOPs scale
     # with the band, so try the tight configs first
-    rows, band, xband = 8, 16, 0
+    rows, band, xband = 8, 16, (0, 0, 0)
     if on_tpu:
         from rcmvsnet_tpu.ops.pallas_warp2 import check_group_coverage
         for r_try, b_try in [(4, 8), (8, 12), (8, 16), (8, 24)]:
@@ -44,18 +44,15 @@ def main():
             if ok:
                 rows, band = r_try, b_try
                 break
-        # smallest x-band window whose coverage holds on every stage
-        # where the alignment gate (models/cascade.py) activates it
-        for xb_try in (256, 384, 512, 640):
-            ok = all(check_group_coverage(
-                batch["proj_matrices"][f"stage{s}"], batch["depth_values"],
-                H // sc, W // sc, rows, band, x_band=xb_try)
-                for s, sc in [(1, 4), (2, 2), (3, 1)]
-                if xb_try < W // sc and xb_try % 128 == 0
-                and (W // sc - xb_try) % 128 == 0)
-            if ok:
-                xband = xb_try
-                break
+        # per-stage: smallest 128-multiple x-band whose coverage holds
+        # (stage widths differ 4x, so so does the minimal covering band)
+        xband = tuple(
+            next((xb for xb in (128, 256, 384, 512, 640)
+                  if xb < W // sc and check_group_coverage(
+                      batch["proj_matrices"][f"stage{s}"],
+                      batch["depth_values"], H // sc, W // sc,
+                      rows, band, x_band=xb)), 0)
+            for s, sc in [(1, 4), (2, 2), (3, 1)])
         print(f"warp config: rows={rows} band={band} xband={xband}",
               file=__import__("sys").stderr)
 

@@ -73,7 +73,7 @@ def _save_rainbow(path, arr, vmin, vmax):
 
 
 def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24,
-                pallas_rows: int = 8, pallas_xband: int = 0):
+                pallas_rows: int = 8, pallas_xband=0):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
     pallas_costreg = (not getattr(args, "no_pallas", False)
                       and jax.default_backend() == "tpu")
@@ -110,24 +110,20 @@ def pick_fast_path(args, sample):
                 sample["depth_values"][None], H // scale, W // scale,
                 rows, band)
         if ok:
-            # smallest x-band window whose coverage holds on every stage
-            # where the alignment gate (models/cascade.py) activates it
-            xband = 0
-            for xb in (256, 384, 512, 640):
-                if all(check_group_coverage(
-                        sample["proj_matrices"][stage][None],
-                        sample["depth_values"][None], H // sc, W // sc,
-                        rows, band, x_band=xb)
-                        for stage, sc in stages
-                        if xb < W // sc and xb % 128 == 0
-                        and (W // sc - xb) % 128 == 0):
-                    xband = xb
-                    break
+            # per-stage: smallest 128-multiple x-band whose coverage
+            # holds (stage widths differ 4x, so so does the band)
+            xband = tuple(
+                next((xb for xb in (128, 256, 384, 512, 640)
+                      if xb < W // sc and check_group_coverage(
+                          sample["proj_matrices"][stage][None],
+                          sample["depth_values"][None], H // sc, W // sc,
+                          rows, band, x_band=xb)), 0)
+                for stage, sc in stages)
             print(f"pallas fast path: ON (rows {rows}, band {band}, "
                   f"xband {xband})")
             return 17 * 1024 * 1024, band, rows, xband
     print("pallas fast path: off (band coverage)")
-    return 0, 24, 8, 0
+    return 0, 24, 8, (0, 0, 0)
 
 
 def load_variables(cascade, ckpt_path, sample):

@@ -20,7 +20,9 @@ class BackboneConfig:
     pallas_warp_max_bytes: int = 0
     pallas_warp_band: int = 24
     pallas_warp_rows: int = 8
-    pallas_warp_xband: int = 0
+    # x-band columns per warp window: 0 = dense, int = all stages,
+    # 3-tuple = per stage (probed per scan by the drivers)
+    pallas_warp_xband: int | Tuple[int, ...] = 0
     # eval fast path: CostRegNet 3D convs via the Pallas channel-major
     # matmul kernel (ops/pallas_conv3d.py); False = XLA convs
     pallas_costreg: bool = False

@@ -107,12 +107,11 @@ class _DepthStage(nn.Module):
             from ..ops.pallas_costreg import make_layout
             from ..ops.pallas_warp2 import plane_sweep_variance_lanes
             lay = make_layout(h, w)
-            # x-banding needs 128-aligned window starts clipped to
-            # w−x_band — only apply at stages whose width keeps that
-            # alignment (full-res 1152 does; 576/288 don't)
+            # x-banding: the kernel zero-pads source rows to a 128
+            # multiple, so the only gates are 128-multiple band width
+            # and the band actually being narrower than the stage
             xb = self.pallas_warp_xband or None
-            if xb is not None and not (xb < w and xb % 128 == 0
-                                       and (w - xb) % 128 == 0):
+            if xb is not None and not (xb < w and xb % 128 == 0):
                 xb = None
             var_lanes = plane_sweep_variance_lanes(
                 features[0], projs[0], depth_values[0], lay,
@@ -181,9 +180,11 @@ class CascadeMVSNet(nn.Module):
     # allows band=8
     pallas_warp_rows: int = 8
     # static x-band (source columns per 128-aligned window) for the warp's
-    # hat contraction; 0 = dense over the full row. 384 cuts the stage-3
-    # matmul 3x; needs check_group_coverage(x_band) per scan
-    pallas_warp_xband: int = 0
+    # hat contraction; 0 = dense over the full row; an int applies to every
+    # stage, a 3-sequence sets it per stage (widths differ 4x across the
+    # cascade, so so does the minimal covering band). Needs
+    # check_group_coverage(x_band) per scan/stage
+    pallas_warp_xband: int | Sequence[int] = 0
     # eval fast path: route CostRegNet's 3D convs through the channel-major
     # Pallas kernel (ops/pallas_conv3d.py). No precondition; eval only.
     pallas_costreg: bool = False
@@ -257,11 +258,14 @@ class CascadeMVSNet(nn.Module):
 
             src_bytes = h * w * Cs * 2  # bf16 VMEM residency requirement
             use_pallas = (0 < src_bytes <= self.pallas_warp_max_bytes)
+            xb_cfg = self.pallas_warp_xband
+            xb_stage = (xb_cfg[stage_idx]
+                        if isinstance(xb_cfg, (tuple, list)) else xb_cfg)
             stage_out = _DepthStage(
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
                 pallas_band=self.pallas_warp_band,
                 pallas_warp_rows=self.pallas_warp_rows,
-                pallas_warp_xband=self.pallas_warp_xband,
+                pallas_warp_xband=xb_stage,
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail,
                 name=f"stage{stage_idx + 1}")(

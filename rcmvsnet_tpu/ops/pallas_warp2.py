@@ -77,8 +77,8 @@ def _row_mask_np(R: int, wp: int, w: int):
 
 def _warp_var_kernel(px_ref, py_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                      *, views: int, band: int, C: int, h: int, w: int,
-                     R: int, wp: int, x_band: int | None, x_tile: int,
-                     x_align: int, compute_dtype):
+                     w_src: int, R: int, wp: int, x_band: int | None,
+                     x_tile: int, x_align: int, compute_dtype):
     """One step: variance over all views for (depth plane, R-row group).
 
     src_ref: [V·h·C, w] resident stacked feature maps; px/py:
@@ -89,7 +89,11 @@ def _warp_var_kernel(px_ref, py_ref, mask_ref, tmpl_ref, src_ref, out_ref,
     per-x-tile windows: for each x_tile-column tile of every row, only an
     x_align-aligned x_band-wide slice of the source row band enters the
     matmul — the hat weights outside it are provably zero when the
-    check_group_coverage(x_band) precondition holds."""
+    check_group_coverage(x_band) precondition holds. Source rows are
+    zero-padded to w_src (an x_align multiple) so the window clip bound
+    w_src − x_band keeps the alignment at any image width; padding
+    columns read as zeros, which is exactly torch's zeros-padding
+    bilinear semantics for taps at kx ≥ w."""
     lanes = R * wp
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
@@ -139,7 +143,7 @@ def _warp_var_kernel(px_ref, py_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                      for r in range(R)], axis=1)    # hat_y tile [bC, R·xt]
                 xmin = jnp.clip(
                     (jnp.floor(jnp.min(pxt)).astype(jnp.int32) // x_align)
-                    * x_align, 0, w - x_band)
+                    * x_align, 0, w_src - x_band)
                 xmin = pl.multiple_of(xmin, x_align)
                 rows = src_ref[pl.ds((v * h + ymin) * C, band * C),
                                pl.ds(xmin, x_band)]
@@ -189,15 +193,22 @@ def plane_sweep_variance_lanes(
     D = depth_values.shape[0]
     R, wp = rows_per_step, lay.wp
     assert (h, w) == (lay.h, lay.w) and h % R == 0, (features.shape, lay, R)
-    if x_band is not None and x_band < w:
-        # window starts are clipped to w−x_band; the pl.multiple_of hint
-        # is only honest if that bound keeps the alignment
-        assert (w - x_band) % x_align == 0, (w, x_band, x_align)
+    banded = x_band is not None and x_band < w
+    if banded:
+        # window starts are clipped to w_src−x_band; the pl.multiple_of
+        # hint is only honest if that bound keeps the alignment, so pad
+        # source rows to an x_align multiple (zeros ≡ torch zeros-padding)
+        assert x_band % x_align == 0, (x_band, x_align)
+        w_src = -(-w // x_align) * x_align
+    else:
+        w_src = w
     n_rg = h // R
 
-    # stacked channel-major feature maps: [V·h·C, w] (view-major rows)
+    # stacked channel-major feature maps: [V·h·C, w_src] (view-major rows)
     src2d = jnp.transpose(features.astype(compute_dtype),
                           (0, 1, 3, 2)).reshape(V * h * C, w)
+    if w_src != w:
+        src2d = jnp.pad(src2d, ((0, 0), (0, w_src - w)))
 
     px_all, py_all = [], []
     ref_proj = projs[0]
@@ -227,8 +238,8 @@ def plane_sweep_variance_lanes(
 
     mask = jnp.asarray(_row_mask_np(R, wp, w))
     kern = functools.partial(
-        _warp_var_kernel, views=V, band=band, C=C, h=h, w=w, R=R, wp=wp,
-        x_band=x_band, x_tile=x_tile, x_align=x_align,
+        _warp_var_kernel, views=V, band=band, C=C, h=h, w=w, w_src=w_src,
+        R=R, wp=wp, x_band=x_band, x_tile=x_tile, x_align=x_align,
         compute_dtype=compute_dtype)
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     vmem = int(min(127 * 1024 * 1024, src_bytes + 28 * 1024 * 1024))
@@ -240,7 +251,7 @@ def plane_sweep_variance_lanes(
             pl.BlockSpec((1, R * wp), lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
             out_spec,                 # aliased zero template
-            pl.BlockSpec((V * h * C, w), lambda d, r: (0, 0),
+            pl.BlockSpec((V * h * C, w_src), lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
@@ -273,12 +284,15 @@ def check_group_coverage(proj_pairs, depth_values, height, width,
 
     def _window_ok(coords, extent, win, align):
         # all in-range taps must land in [start, start+win) where
-        # start = clip((lo // align)·align, 0, extent−win) — the exact
-        # window the kernel slices. start ≤ max(lo, 0) always, so only
-        # the upper edge can escape.
+        # start = clip((lo // align)·align, 0, pad(extent)−win) — the
+        # exact window the kernel slices (the kernel zero-pads source
+        # rows to an align multiple, so taps ≥ extent contribute zero
+        # regardless and only kx ≤ extent−1 must be covered).
+        # start ≤ max(lo, 0) always, so only the upper edge can escape.
+        padded = -(-extent // align) * align
         lo = jnp.floor(jnp.min(coords, axis=-1))
         hi = jnp.floor(jnp.max(coords, axis=-1)) + 1.0
-        start = jnp.clip((lo // align) * align, 0.0, float(extent - win))
+        start = jnp.clip((lo // align) * align, 0.0, float(padded - win))
         last = jnp.minimum(float(extent - 1), hi)
         return bool(jax.device_get(jnp.all(last <= start + win - 1)))
 

@@ -97,6 +97,27 @@ def test_x_banded_matches_dense():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_x_banded_unaligned_width():
+    """Widths that are NOT a multiple of x_align exercise the kernel's
+    zero-padding of source rows (window clip bound = padded_w − x_band)."""
+    feats, projs, dv, pairs, _ = _setup(H=16, W=20, V=4)
+    V, H, W, C = feats.shape
+    x_band, x_tile, x_align = 16, 8, 8
+    assert W % x_align != 0  # must exercise the padded clip bound
+    assert check_group_coverage(pairs, dv[None], H, W, 4, 8,
+                                x_band=x_band, x_tile=x_tile,
+                                x_align=x_align)
+    lay = make_layout(H, W, 512)
+    kw = dict(rows_per_step=4, band=8, compute_dtype=jnp.float32,
+              out_dtype=jnp.float32, interpret=True)
+    dense = plane_sweep_variance_lanes(feats, projs, dv, lay, **kw)
+    banded = plane_sweep_variance_lanes(feats, projs, dv, lay,
+                                        x_band=x_band, x_tile=x_tile,
+                                        x_align=x_align, **kw)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_rows8_band16_config():
     """The fallback (R=8, band=16) config must agree too."""
     feats, projs, dv, pairs, _ = _setup(H=16, W=16, V=3, D=8)
