@@ -42,7 +42,7 @@ class RenderConfig:
     net_width: int = 128
     volume_channels: int = 8
     num_planes: int = 128
-    net_type: str = "v0"  # 'v0' multiplicative feat bias | 'v2' additive
+    net_type: str = "v0"  # 'v0' mult feat bias | 'v1' attention | 'v2' additive
     # NDC border squeeze for ray sampling (core/geometry.py world_to_ndc),
     # matching render_utils.py:112-146. The reference's corresponding
     # VOLUME-side pad is dead AND broken there (casmvsnet.py:58-61 assigns

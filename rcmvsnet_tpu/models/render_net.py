@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.geometry import HIGHEST
-from ..nn.mlp import NerfMLP, positional_encoding
+from ..nn.mlp import AttentionNerfMLP, NerfMLP, positional_encoding
 from ..nn.neural_volume import NeuralVolumeNet
 from ..render.rays import RayBatch, build_color_volume, index_point_feature, sample_rays
 from ..render.volume_render import RenderOutput, depth2dist, volumetric_render
@@ -62,7 +62,7 @@ class RenderingConsistencyNet(nn.Module):
     net_width: int = 128
     volume_channels: int = 8
     num_planes: int = 128
-    net_type: str = "v0"  # 'v0' multiplicative bias | 'v2' additive
+    net_type: str = "v0"  # 'v0' mult bias | 'v1' attention | 'v2' additive
     pad: int = 0
 
     @nn.compact
@@ -104,11 +104,20 @@ class RenderingConsistencyNet(nn.Module):
         pts_enc = positional_encoding(rays.ndc, self.multires)       # [B,N,S,63]
         views = jnp.broadcast_to(viewdirs[:, :, None],
                                  (*rays.ndc.shape[:3], 3))
-        raw = NerfMLP(self.net_depth, self.net_width,
-                      in_ch_pts=pts_enc.shape[-1],
-                      bias_mode="add" if self.net_type == "v2" else "multiply",
-                      name="nerf")(
-            pts_enc, input_feat, views)                              # [B,N,S,4]
+        if self.net_type == "v1":
+            # Renderer_attention (render_models.py:552-554); its extra
+            # color-prior channels are ignored by the compositor, as in
+            # the reference's raw2outputs
+            mlp = AttentionNerfMLP(self.net_depth, self.net_width,
+                                   in_ch_pts=pts_enc.shape[-1],
+                                   name="nerf")
+        else:
+            mlp = NerfMLP(self.net_depth, self.net_width,
+                          in_ch_pts=pts_enc.shape[-1],
+                          bias_mode=("add" if self.net_type == "v2"
+                                     else "multiply"),
+                          name="nerf")
+        raw = mlp(pts_enc, input_feat, views)                 # [B,N,S,4|10]
 
         dists = depth2dist(rays.z_vals, cos_angle)
         out: RenderOutput = volumetric_render(raw, rays.z_vals, dists)

@@ -136,10 +136,29 @@ def convert_render_checkpoint(path):
             "bias": np.asarray(sd[f"network_fn.nerf.{torch_name}.bias"])}}}
 
     nerf = {}
-    i = 0
-    while f"network_fn.nerf.pts_linears.{i}.weight" in sd:
-        nerf.update(dense(f"pts_linears.{i}", f"pts_linear_{i}"))
-        i += 1
+    if "network_fn.nerf.color_attention.w_qs.weight" in sd:
+        # net_type 'v1' Renderer_attention: the torch trunk is ONE shared
+        # Linear at indices 1..D−1 (render_models.py:401-402 list
+        # replication), mapped to our pts_linear_shared; plus the
+        # attention block (bias-free projections) and weight_out head
+        nerf.update(dense("pts_linears.0", "pts_linear_0"))
+        nerf.update(dense("pts_linears.1", "pts_linear_shared"))
+        att = {}
+        for proj in ("w_qs", "w_ks", "w_vs", "fc"):
+            att[proj] = {"kernel": _linear(
+                sd[f"network_fn.nerf.color_attention.{proj}.weight"])}
+        att["layer_norm"] = {
+            "scale": np.asarray(
+                sd["network_fn.nerf.color_attention.layer_norm.weight"]),
+            "bias": np.asarray(
+                sd["network_fn.nerf.color_attention.layer_norm.bias"])}
+        nerf["color_attention"] = att
+        nerf.update(dense("weight_out", "weight_out"))
+    else:
+        i = 0
+        while f"network_fn.nerf.pts_linears.{i}.weight" in sd:
+            nerf.update(dense(f"pts_linears.{i}", f"pts_linear_{i}"))
+            i += 1
     nerf.update(dense("pts_bias", "pts_bias"))
     nerf.update(dense("views_linears.0", "views_linear_0"))
     nerf.update(dense("feature_linear", "feature_linear"))

@@ -99,7 +99,7 @@ def test_depth_regression_and_confidence():
     np.testing.assert_allclose(np.asarray(conf), expected_conf, atol=1e-5)
 
 
-def test_render_net_forward():
+def test_render_net_forward(net_type="v0"):
     B, V, H, W = 1, 4, 32, 64  # H/4, W/4 must divide by 8 (3-level 3D U-Net)
     D0, C = 8, 3 * 3 + 32
     volume_feature = RS.randn(B, D0, H // 4, W // 4, C).astype(np.float32)
@@ -116,7 +116,7 @@ def test_render_net_forward():
     near_fars = np.broadcast_to(np.array([40.0, 90.0], np.float32), (B, V, 2)).copy()
 
     model = RenderingConsistencyNet(n_rays=64, n_samples=16,
-                                    volume_channels=8)
+                                    volume_channels=8, net_type=net_type)
     args = tuple(jnp.asarray(a) for a in
                  (volume_feature, pseudo_depth, imgs, w2cs, c2ws,
                   intrinsics, near_fars))
@@ -135,3 +135,8 @@ def test_render_net_forward():
     assert (w >= 0).all() and (w.sum(-1) <= 1.0 + 1e-4).all()
     # z_vals sorted ⇒ rendered depth inside [near−3σ-ish, far+3σ-ish] band
     assert np.isfinite(np.asarray(result.depth)).all()
+
+
+def test_render_net_forward_v1_attention():
+    """net_type='v1' (Renderer_attention) end-to-end through the branch."""
+    test_render_net_forward(net_type="v1")
