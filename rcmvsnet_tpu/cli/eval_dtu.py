@@ -164,8 +164,25 @@ def save_depth(args, testlist):
                             max_h=args.max_h, max_w=args.max_w)
         if cascade is None:
             cascade = build_model(args, *pick_fast_path(args, ds[0]))
-            forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
-                v, imgs, projs, dv, train=False))
+            from ..nn.featurenet_fast import (featurenet_packed,
+                                              pack_featurenet,
+                                              packed_shapes_ok)
+            Hs, Ws = ds[0]["imgs"].shape[1:3]
+            use_packed = (jax.default_backend() == "tpu"
+                          and not getattr(args, "no_pallas", False)
+                          and packed_shapes_ok(Hs, Ws))
+
+            def _fwd(v, imgs, projs, dv):
+                features = None
+                if use_packed:
+                    packed = pack_featurenet(v["params"]["feature"],
+                                             v["batch_stats"]["feature"])
+                    features = featurenet_packed(
+                        packed,
+                        imgs.astype(jnp.bfloat16).reshape(-1, Hs, Ws, 3))
+                return cascade.apply(v, imgs, projs, dv, train=False,
+                                     features=features)
+            forward = jax.jit(_fwd)
             variables = load_variables(cascade, args.loadckpt, ds[0])
         for i in range(len(ds)):
             sample = ds[i]

@@ -201,10 +201,13 @@ class CascadeMVSNet(nn.Module):
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False,
-                 return_volume: bool = False):
+                 return_volume: bool = False, features=None):
         """
         imgs: [B, V, H, W, 3]; proj_matrices: {stageK: [B, V, 2, 4, 4]};
-        depth_values: [B, Dfull] full sweep hypotheses.
+        depth_values: [B, Dfull] full sweep hypotheses; features: optional
+        precomputed {stageK: [B·V, h, w, C]} feature pyramid (the drivers'
+        packed eval path — nn/featurenet_fast.py — computes it outside the
+        module from the same 'feature' params; None runs FeatureNet here).
 
         Returns outputs dict {stage1..3: {depth, photometric_confidence},
         depth, photometric_confidence} and, when return_volume, the stage-1
@@ -218,8 +221,12 @@ class CascadeMVSNet(nn.Module):
 
         if self.eval_dtype is not None and not train:
             imgs = imgs.astype(self.eval_dtype)
-        feats_flat = FeatureNet(self.base_channels, num_stage, name="feature")(
-            imgs.reshape(B * V, H, W, 3), train)
+        if features is not None and not self.is_initializing():
+            feats_flat = features
+        else:
+            feats_flat = FeatureNet(self.base_channels, num_stage,
+                                    name="feature")(
+                imgs.reshape(B * V, H, W, 3), train)
 
         outputs = {}
         depth = None

@@ -1,0 +1,112 @@
+"""Fast FeatureNet eval path: one flat channel-major Pallas conv chain.
+
+The FPN extractor (nn/featurenet.py, parity target
+/root/reference/models/modules.py:363-464) runs 3-32-channel convs that
+XLA lowers at ~4 TFLOP/s on this chip (~36 ms/forward at 1152×864×5).
+This module evaluates the SAME parameters through
+ops/pallas_conv2d.conv2d_cm: the whole trunk chains in the flat
+channel-major margined layout (zero NHWC↔CM relayouts between layers —
+the margins ARE the conv zero-padding), eval-BatchNorm folds into the
+kernel weights, ReLU fuses into the kernel epilogue, the 1×1 FPN heads
+run as plain [Co, Ci]@[Ci, lanes] matmuls, and nearest-×2 upsampling is
+a repeat whose output geometry coincides exactly with the lateral
+branch's (margins 4 → 2 → 1 across the stride-2 levels).
+
+Exactness: identical convolution math — tests/test_featurenet_fast.py
+checks parity with FeatureNet.apply(train=False) at f32.
+
+Eval-only (uses running BN stats); the train path keeps the Flax module.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_conv2d import (cm_from_nhwc, cm_to_nhwc, conv2d_cm,
+                                 make_geo, matmul_cm, upsample2_cm)
+
+# (name, kernel, stride, pad) for the ConvBNAct trunk (all BN+ReLU); the
+# FPN heads (out*/inner*) are handled explicitly below.
+_TRUNK = (
+    ("conv0_0", 3, 1, 1),
+    ("conv0_1", 3, 1, 1),
+    ("conv1_0", 5, 2, 2),
+    ("conv1_1", 3, 1, 1),
+    ("conv1_2", 3, 1, 1),
+    ("conv2_0", 5, 2, 2),
+    ("conv2_1", 3, 1, 1),
+    ("conv2_2", 3, 1, 1),
+)
+
+
+def _fold_bn(params, stats, name):
+    """BN(eval) as per-channel (scale, shift)."""
+    bn_p = params[name]["TorchBatchNorm_0"]
+    bn_s = stats[name]["TorchBatchNorm_0"]
+    inv = bn_p["scale"] * jax.lax.rsqrt(bn_s["var"] + 1e-5)
+    return inv, bn_p["bias"] - bn_s["mean"] * inv
+
+
+def pack_featurenet(params, batch_stats, dtype=jnp.bfloat16):
+    """FeatureNet params (+ running stats) → folded-weight dict."""
+    packed = {"dtype": dtype}
+    for name, *_ in _TRUNK:
+        kern = params[name]["Conv_0"]["kernel"]
+        scale, shift = _fold_bn(params, batch_stats, name)
+        packed[name] = (kern.astype(jnp.float32), scale, shift)
+    for name in ("out1", "inner1", "inner2"):
+        w = params[name]["Conv_0"]["kernel"]  # 1×1 convs → plain dots
+        packed[name] = (w[0, 0], params[name]["Conv_0"].get("bias"))
+    for name in ("out2", "out3"):  # 3×3, no BN/bias/ReLU
+        packed[name] = (params[name]["Conv_0"]["kernel"].astype(jnp.float32),
+                        None, None)
+    return packed
+
+
+def featurenet_packed(packed, x, num_stage: int = 3,
+                      interpret: bool = False):
+    """Folded-weight FeatureNet forward; mirrors FeatureNet.__call__
+    (nn/featurenet.py:47-75) output-for-output.
+
+    x: [N, H, W, 3], H and W divisible by 4 → {stage1..3} NHWC maps.
+    """
+    dt = packed["dtype"]
+    N, H, W, _ = x.shape
+    geo = make_geo(N, H, W, margin=4)
+    flat = cm_from_nhwc(x.astype(dt), geo)
+
+    acts = {}
+    for name, k, s, pad in _TRUNK:
+        kern, scale, shift = packed[name]
+        flat, geo = conv2d_cm(flat, geo, kern.astype(dt), stride=s,
+                              padding=pad, scale=scale, shift=shift,
+                              relu=True, interpret=interpret)
+        acts[name] = (flat, geo)
+    conv0 = acts["conv0_1"]
+    conv1 = acts["conv1_2"]
+    intra, geo1 = acts["conv2_2"]
+
+    outputs = {"stage1": cm_to_nhwc(
+        matmul_cm(intra, geo1, packed["out1"][0]), geo1)}
+    if num_stage >= 2:
+        up, geo_up = upsample2_cm(intra, geo1)
+        assert geo_up == conv1[1], (geo_up, conv1[1])
+        intra = up + matmul_cm(conv1[0], conv1[1], packed["inner1"][0],
+                               packed["inner1"][1])
+        out2, geo2 = conv2d_cm(intra, geo_up, packed["out2"][0].astype(dt),
+                               stride=1, padding=1, interpret=interpret)
+        outputs["stage2"] = cm_to_nhwc(out2, geo2)
+    if num_stage >= 3:
+        up, geo_up = upsample2_cm(intra, geo_up)
+        assert geo_up == conv0[1], (geo_up, conv0[1])
+        intra = up + matmul_cm(conv0[0], conv0[1], packed["inner2"][0],
+                               packed["inner2"][1])
+        out3, geo3 = conv2d_cm(intra, geo_up, packed["out3"][0].astype(dt),
+                               stride=1, padding=1, interpret=interpret)
+        outputs["stage3"] = cm_to_nhwc(out3, geo3)
+    return outputs
+
+
+def packed_shapes_ok(H: int, W: int) -> bool:
+    """Trunk strides need whole half/quarter resolutions."""
+    return H % 4 == 0 and W % 4 == 0

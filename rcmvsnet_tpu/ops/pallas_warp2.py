@@ -21,8 +21,12 @@ regularizer. This kernel does the whole thing in one pass:
     E[x²]−E[x]² is written ONCE, directly into the cost regularizer's
     128-aligned lane layout (ops/pallas_costreg.LaneLayout) via Element
     blocks: plane d+1, lane offset halo + (1 + r·R)·wp. Borders and
-    margins stay zero through an aliased zero template, and out-of-row
-    padding lanes carry dummy coords (px = −5) whose hat weights are zero;
+    margins stay zero through an aliased zero template, and padding-lane
+    contributions are killed by the real-pixel row mask;
+  * sample coordinates are computed IN-REGISTER per grid step from the
+    SMEM-resident relative projections (_coords_inkernel) — the
+    precomputed px/py fields used through round 2 moved ~2·V·D·h·wp f32
+    through HBM and dominated the warp's XLA glue;
   * the y-band is a HOST-SIDE PRECONDITION like the v1 kernel: callers
     gate with check_group_coverage (R-row groups, band rows); violations
     silently zero out-of-band taps.
@@ -52,21 +56,6 @@ def _identity_projection(proj: jnp.ndarray) -> jnp.ndarray:
     return jnp.broadcast_to(eye, proj.shape)
 
 
-def _coords_for_view(proj_rel, depth_values, h, w, wp):
-    """Pixel-space sample coords in the aligned-row lane space.
-
-    Returns (px, py) each [D, h, wp] f32: lane x ∈ [1, w+1) holds the
-    coords of real pixel x−1; border/tail lanes replicate the row-edge
-    coords so the in-kernel band anchors (y-band, x-band) are unaffected
-    by padding. Their nonzero contributions are killed by the border mask
-    applied to the final variance."""
-    px, py = _pixel_coords(proj_rel, depth_values, h, w)   # [1, D, h, w]
-    px, py = px[0], py[0]
-    px = jnp.pad(px, ((0, 0), (0, 0), (1, wp - w - 1)), mode="edge")
-    py = jnp.pad(py, ((0, 0), (0, 0), (1, wp - w - 1)), mode="edge")
-    return px, py
-
-
 @functools.lru_cache(maxsize=32)
 def _row_mask_np(R: int, wp: int, w: int):
     """[1, R·wp] f32: 1 on real-pixel lanes (col 1..w of each row)."""
@@ -75,15 +64,44 @@ def _row_mask_np(R: int, wp: int, w: int):
     return m.reshape(1, R * wp)
 
 
-def _warp_var_kernel(px_ref, py_ref, mask_ref, tmpl_ref, src_ref, out_ref,
+def _coords_inkernel(proj_ref, depth, v: int, h: int, w: int, wp: int,
+                     row0):
+    """px/py [1, R·wp] for view v, computed from the SMEM-resident
+    relative projection — replaces the precomputed [D, n_rg, V, R·wp]
+    coordinate fields (whose HBM traffic dominated the warp's XLA glue).
+    Same math as ops.pallas_warp._pixel_coords / core.geometry
+    project_to_grid: p = rot·[x, y, 1]·d + t, px = X/Z (the ±1
+    normalize/denormalize round-trip cancels), z guarded away from 0,
+    coords clamped to the harmless just-outside range."""
+    lanes = depth.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    x = jnp.clip(lane % wp - 1, 0, w - 1).astype(jnp.float32)
+    y = (row0 + lane // wp).astype(jnp.float32)
+    m = lambda i, j: proj_ref[v, 4 * i + j]
+    rx = m(0, 0) * x + m(0, 1) * y + m(0, 2)
+    ry = m(1, 0) * x + m(1, 1) * y + m(1, 2)
+    rz = m(2, 0) * x + m(2, 1) * y + m(2, 2)
+    X = rx * depth + m(0, 3)
+    Y = ry * depth + m(1, 3)
+    Z = rz * depth + m(2, 3)
+    Z = jnp.where(jnp.abs(Z) < 1e-6,
+                  jnp.where(Z < 0, -1e-6, 1e-6), Z)
+    px = jnp.clip(X / Z, -2.0, w + 1.0)
+    py = jnp.clip(Y / Z, -2.0, h + 1.0)
+    return px, py
+
+
+def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                      *, views: int, band: int, C: int, h: int, w: int,
                      w_src: int, R: int, wp: int, x_band: int | None,
                      x_tile: int, x_align: int, compute_dtype):
     """One step: variance over all views for (depth plane, R-row group).
 
-    src_ref: [V·h·C, w] resident stacked feature maps; px/py:
-    [1, 1, V, R·wp]; mask: [1, R·wp] real-pixel-lane mask;
-    out: [1, C, R·wp].
+    src_ref: [V·h·C, w] resident stacked feature maps; proj_ref: SMEM
+    [V, 16] relative projections; dv_ref: [1, 1, R·wp] per-pixel depth
+    hypotheses (edge-padded lanes); mask: [1, R·wp] real-pixel-lane
+    mask; out: [1, C, R·wp]. px/py are computed in-register per view
+    (_coords_inkernel) — no coordinate fields ever touch HBM.
 
     With x_band set (and < w), the w-wide hat contraction is replaced by
     per-x-tile windows: for each x_tile-column tile of every row, only an
@@ -108,11 +126,12 @@ def _warp_var_kernel(px_ref, py_ref, mask_ref, tmpl_ref, src_ref, out_ref,
         kx = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0).astype(
             jnp.float32)
 
+    depth = dv_ref[0, 0]                                  # [1, lanes]
+    row0 = pl.program_id(1) * R
     acc_s = jnp.zeros((C, lanes), jnp.float32)
     acc_q = jnp.zeros((C, lanes), jnp.float32)
     for v in range(views):
-        px = px_ref[0, 0, v:v + 1, :]                     # [1, lanes]
-        py = py_ref[0, 0, v:v + 1, :]
+        px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0)
         ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
                         0, h - band)
         jy = (sub_i + ymin).astype(jnp.float32)
@@ -210,27 +229,26 @@ def plane_sweep_variance_lanes(
     if w_src != w:
         src2d = jnp.pad(src2d, ((0, 0), (0, w_src - w)))
 
-    px_all, py_all = [], []
+    # SMEM-resident relative projections [V, 16]; coords are computed
+    # in-register per grid step (the old precomputed px/py fields moved
+    # ~2·V·D·h·wp f32 through HBM — the warp's dominant XLA glue)
     ref_proj = projs[0]
-    for v in range(V):
-        rel = (jax.lax.stop_gradient(
-            relative_projection(projs[v:v + 1], ref_proj[None]))
-            if v else _identity_projection(ref_proj)[None])
-        px, py = _coords_for_view(rel, depth_values[None], h, w, wp)
-        px_all.append(px)
-        py_all.append(py)
-    # [D, n_rg, V, R·wp]
-    pack = lambda cs: jnp.stack(
-        [c.reshape(D, n_rg, R * wp) for c in cs], axis=2)
-    px_pack = pack(px_all)
-    py_pack = pack(py_all)
+    rels = [(jax.lax.stop_gradient(
+        relative_projection(projs[v:v + 1], ref_proj[None]))[0]
+        if v else _identity_projection(ref_proj))
+        for v in range(V)]
+    proj_pack = jnp.stack(rels).reshape(V, 16).astype(jnp.float32)
+
+    # per-pixel depth hypotheses in the aligned-row lane space
+    # [D, n_rg, R·wp] (edge-padded lanes, matching the old coord-field
+    # edge replication)
+    dv_lanes = jnp.pad(depth_values.astype(jnp.float32),
+                       ((0, 0), (0, 0), (1, wp - w - 1)),
+                       mode="edge").reshape(D, n_rg, 1, R * wp)
 
     template = jnp.zeros((D + 2, C, lay.lanesp), out_dtype)
     H = lay.halo
     lane_off = lambda val: pl.multiple_of(val, 128)
-    coord_spec = pl.BlockSpec((1, 1, V, R * wp),
-                              lambda d, r: (d, r, 0, 0),
-                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
         (pl.Element(1), pl.Element(C), pl.Element(R * wp)),
         lambda d, r: (d + 1, 0, lane_off(H + (1 + r * R) * wp)),
@@ -247,7 +265,9 @@ def plane_sweep_variance_lanes(
         kern,
         grid=(D, n_rg),
         in_specs=[
-            coord_spec, coord_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, R * wp), lambda d, r: (d, r, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R * wp), lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
             out_spec,                 # aliased zero template
@@ -259,7 +279,7 @@ def plane_sweep_variance_lanes(
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         **({"interpret": True} if interpret else {}),
-    )(px_pack, py_pack, mask, template, src2d)
+    )(proj_pack, dv_lanes, mask, template, src2d)
 
 
 def check_group_coverage(proj_pairs, depth_values, height, width,
@@ -305,7 +325,7 @@ def check_group_coverage(proj_pairs, depth_values, height, width,
         ok = ok and _window_ok(groups, height, band, align=1)
         if x_band is not None and x_band < width:
             # pad cols to the kernel's x-tiling (edge mode, matching
-            # _coords_for_view) and group (R rows × x_tile cols)
+            # the kernel's edge-clamped in-kernel coords) and group (R rows × x_tile cols)
             wp = -(-(W + 2) // 128) * 128
             pxp = jnp.pad(px, ((0, 0), (0, 0), (0, 0), (1, wp - W - 1)),
                           mode="edge")
