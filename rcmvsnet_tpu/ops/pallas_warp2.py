@@ -94,7 +94,8 @@ def _coords_inkernel(proj_ref, depth, v: int, h: int, w: int, wp: int,
 def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                      *, views: int, band: int, C: int, h: int, w: int,
                      w_src: int, R: int, wp: int, x_band: int | None,
-                     x_tile: int, x_align: int, compute_dtype):
+                     x_tile: int, x_align: int, interpret: bool,
+                     compute_dtype):
     """One step: variance over all views for (depth plane, R-row group).
 
     src_ref: [V·h·C, w] resident stacked feature maps; proj_ref: SMEM
@@ -128,9 +129,23 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
 
     depth = dv_ref[0, 0]                                  # [1, lanes]
     row0 = pl.program_id(1) * R
-    acc_s = jnp.zeros((C, lanes), jnp.float32)
-    acc_q = jnp.zeros((C, lanes), jnp.float32)
-    for v in range(views):
+    roll = jnp.roll if interpret else pltpu.roll
+
+    # view 0 is the reference view: its warp is the identity, so its
+    # contribution is a direct lane-layout copy of the resident feature
+    # rows (saves 1/V of the hat-matmul FLOPs; values are bit-identical
+    # to the hat path — integer coords hit exactly one unit tap)
+    pieces = []
+    zpad = (jnp.zeros((C, wp - w_src), jnp.float32)
+            if wp > w_src else None)
+    for r in range(R):
+        row = src_ref[pl.ds((row0 + r) * C, C), :].astype(jnp.float32)
+        pieces.append(row if zpad is None
+                      else jnp.concatenate([row, zpad], axis=1))
+    ref_b = roll(jnp.concatenate(pieces, axis=1), 1, axis=1)  # [C, lanes]
+    acc_s = ref_b
+    acc_q = ref_b * ref_b
+    for v in range(1, views):
         px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0)
         ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
                         0, h - band)
@@ -258,7 +273,7 @@ def plane_sweep_variance_lanes(
     kern = functools.partial(
         _warp_var_kernel, views=V, band=band, C=C, h=h, w=w, w_src=w_src,
         R=R, wp=wp, x_band=x_band, x_tile=x_tile, x_align=x_align,
-        compute_dtype=compute_dtype)
+        interpret=interpret, compute_dtype=compute_dtype)
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     vmem = int(min(127 * 1024 * 1024, src_bytes + 28 * 1024 * 1024))
     return pl.pallas_call(
