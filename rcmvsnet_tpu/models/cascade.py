@@ -31,7 +31,7 @@ from ..core.geometry import (compose_projection, linspace_depth_samples,
                              window_depth_samples)
 from ..nn.costreg import CostRegNet
 from ..nn.featurenet import FeatureNet
-from ..ops.sampling import resize_bilinear, resize_trilinear
+from ..ops.sampling import resize_bilinear
 from ..ops.warp import (homo_warp, plane_sweep_variance,
                         plane_sweep_variance_no_ref)
 
@@ -242,19 +242,25 @@ class CascadeMVSNet(nn.Module):
             features = feats_stage.reshape(B, V, h, w, Cs)
             projs = compose_projection(proj_matrices[stage_key])  # [B,V,4,4]
 
+            # The reference builds [B, nd, H, W] full-res sample volumes
+            # and trilinear-downsizes them (modules.py:549-591 +
+            # Align_Corners_Range interpolate). The window offsets are
+            # linear and per-pixel constant along (h, w), and the depth
+            # axis of that resize is the identity, so downsizing the
+            # SCALAR depth map before windowing yields the same samples
+            # without ever materializing nd·H·W volumes (~150 MB/stage).
             if depth is None:
-                samples_full = linspace_depth_samples(depth_values, nd, H, W)
+                depth_samples = linspace_depth_samples(depth_values, nd, h, w)
             else:
                 cur = jax.lax.stop_gradient(depth) if self.grad_detach else depth
                 cur = resize_bilinear(cur[..., None], H, W,
                                       align_corners=False)[..., 0]
+                if (h, w) != (H, W):
+                    cur = resize_bilinear(cur[..., None], h, w,
+                                          align_corners=False)[..., 0]
                 interval = (self.depth_intervals_ratio[stage_idx]
                             * depth_interval)[:, None, None]
-                samples_full = window_depth_samples(cur, nd, interval)
-            # trilinear resize [B, nd, H, W] → [B, nd, h, w]
-            # (align_corners=False, matching Align_Corners_Range)
-            depth_samples = resize_trilinear(
-                samples_full[..., None], nd, h, w, align_corners=False)[..., 0]
+                depth_samples = window_depth_samples(cur, nd, interval)
 
             want_volume = return_volume and stage_idx == 0
             imgs_stage = None
