@@ -77,17 +77,28 @@ def main():
                                                  pack_featurenet,
                                                  packed_shapes_ok)
     use_packed = on_tpu and packed_shapes_ok(H, W)
+    # hand the warp kernel its source layout straight from the feature
+    # heads when every stage takes the fully fused path
+    warp_layout = use_packed and all(
+        (H // sc) % rows == 0 and (H // sc) % 8 == 0 and (W // sc) % 8 == 0
+        for sc in (4, 2, 1)) and all(d % 8 == 0 for d in (48, 32, 8))
 
     @jax.jit
     def forward(variables, imgs, projs, depth_values):
-        features = None
+        features = features_warp = None
         if use_packed:
             packed = pack_featurenet(variables["params"]["feature"],
                                      variables["batch_stats"]["feature"])
-            features = featurenet_packed(
-                packed, imgs.astype(jnp.bfloat16).reshape(-1, H, W, 3))
+            feats = featurenet_packed(
+                packed, imgs.astype(jnp.bfloat16).reshape(-1, H, W, 3),
+                out_layout="warp" if warp_layout else "nhwc")
+            if warp_layout:
+                features_warp = feats
+            else:
+                features = feats
         out = cascade.apply(variables, imgs, projs, depth_values,
-                            train=False, features=features)
+                            train=False, features=features,
+                            features_warp=features_warp)
         return out["depth"], out["photometric_confidence"]
 
     def sync(x):

@@ -171,17 +171,37 @@ def save_depth(args, testlist):
             use_packed = (jax.default_backend() == "tpu"
                           and not getattr(args, "no_pallas", False)
                           and packed_shapes_ok(Hs, Ws))
+            # warp-layout handoff requires the fully fused path at every
+            # stage (mirrors the _DepthStage fused gate)
+            ndepths = tuple(int(x) for x in args.ndepths.split(",") if x)
+            rows = cascade.pallas_warp_rows
+            warp_layout = (use_packed and cascade.pallas_costreg
+                           and cascade.pallas_warp_max_bytes > 0
+                           and all(d % 8 == 0 for d in ndepths)
+                           and all((Hs // sc) % rows == 0
+                                   and (Hs // sc) % 8 == 0
+                                   and (Ws // sc) % 8 == 0
+                                   and (Hs // sc) * (Ws // sc)
+                                   * cascade.base_channels * sc * 2
+                                   <= cascade.pallas_warp_max_bytes
+                                   for sc in (4, 2, 1)))
 
             def _fwd(v, imgs, projs, dv):
-                features = None
+                features = features_warp = None
                 if use_packed:
                     packed = pack_featurenet(v["params"]["feature"],
                                              v["batch_stats"]["feature"])
-                    features = featurenet_packed(
+                    feats = featurenet_packed(
                         packed,
-                        imgs.astype(jnp.bfloat16).reshape(-1, Hs, Ws, 3))
+                        imgs.astype(jnp.bfloat16).reshape(-1, Hs, Ws, 3),
+                        out_layout="warp" if warp_layout else "nhwc")
+                    if warp_layout:
+                        features_warp = feats
+                    else:
+                        features = feats
                 return cascade.apply(v, imgs, projs, dv, train=False,
-                                     features=features)
+                                     features=features,
+                                     features_warp=features_warp)
             forward = jax.jit(_fwd)
             variables = load_variables(cascade, args.loadckpt, ds[0])
         for i in range(len(ds)):

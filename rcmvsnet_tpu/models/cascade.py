@@ -81,17 +81,26 @@ class _DepthStage(nn.Module):
 
     @nn.compact
     def __call__(self, features, projs, depth_values, imgs_stage=None,
-                 train: bool = False, want_volume: bool = False):
+                 train: bool = False, want_volume: bool = False,
+                 feat_warp=None):
         """
         features: [B, V, h, w, C] stage features; projs: [B, V, 4, 4]
         K-folded; depth_values: [B, D, h, w]; imgs_stage: [B, V, h, w, 3]
-        (only needed when want_volume).
+        (only needed when want_volume); feat_warp: optional
+        (src2d, meta) warp-layout features from
+        featurenet_fast.featurenet_packed(out_layout='warp') — the fully
+        fused eval path then never materializes NHWC features.
         Returns dict with depth [B,h,w], photometric_confidence [B,h,w], and
         optionally volume_feature_no_ref [B, D, h, w, 3(V−1)+C].
         """
-        B, V, h, w, C = features.shape
-        ref_feat = features[:, 0]
-        src_feats = [features[:, i] for i in range(1, V)]
+        if feat_warp is not None:
+            src2d, meta = feat_warp
+            B, (V, _, _, C, _) = 1, meta
+            h, w = depth_values.shape[2:4]
+        else:
+            B, V, h, w, C = features.shape
+            ref_feat = features[:, 0]
+            src_feats = [features[:, i] for i in range(1, V)]
         ref_proj = projs[:, 0]
         src_projs = [projs[:, i] for i in range(1, V)]
 
@@ -103,6 +112,8 @@ class _DepthStage(nn.Module):
                  and not train and not want_volume and B == 1
                  and D % 8 == 0 and h % self.pallas_warp_rows == 0
                  and h % 8 == 0 and w % 8 == 0)
+        assert fused or feat_warp is None, (
+            "warp-layout features require the fully fused eval path")
         if fused:
             from ..ops.pallas_costreg import make_layout
             from ..ops.pallas_warp2 import plane_sweep_variance_lanes
@@ -114,9 +125,12 @@ class _DepthStage(nn.Module):
             if xb is not None and not (xb < w and xb % 128 == 0):
                 xb = None
             var_lanes = plane_sweep_variance_lanes(
-                features[0], projs[0], depth_values[0], lay,
+                None if feat_warp is not None else features[0],
+                projs[0], depth_values[0], lay,
                 rows_per_step=self.pallas_warp_rows, band=self.pallas_band,
-                x_band=xb)
+                x_band=xb,
+                **({"src2d": src2d, "src_meta": meta}
+                   if feat_warp is not None else {}))
             cost = CostRegNet(self.base_channels, conv_impl="lanes",
                               name="cost_reg")(
                 var_lanes, train, lanes_dims=(D, h, w, C))
@@ -201,7 +215,8 @@ class CascadeMVSNet(nn.Module):
 
     @nn.compact
     def __call__(self, imgs, proj_matrices, depth_values, train: bool = False,
-                 return_volume: bool = False, features=None):
+                 return_volume: bool = False, features=None,
+                 features_warp=None):
         """
         imgs: [B, V, H, W, 3]; proj_matrices: {stageK: [B, V, 2, 4, 4]};
         depth_values: [B, Dfull] full sweep hypotheses; features: optional
@@ -221,7 +236,9 @@ class CascadeMVSNet(nn.Module):
 
         if self.eval_dtype is not None and not train:
             imgs = imgs.astype(self.eval_dtype)
-        if features is not None and not self.is_initializing():
+        if features_warp is not None and not self.is_initializing():
+            feats_flat = None   # warp-layout features skip NHWC entirely
+        elif features is not None and not self.is_initializing():
             feats_flat = features
         else:
             feats_flat = FeatureNet(self.base_channels, num_stage,
@@ -237,9 +254,15 @@ class CascadeMVSNet(nn.Module):
             h, w = H // scale, W // scale
             nd = self.ndepths[stage_idx]
 
-            feats_stage = feats_flat[stage_key]
-            Cs = feats_stage.shape[-1]
-            features = feats_stage.reshape(B, V, h, w, Cs)
+            if feats_flat is None:
+                feat_warp = features_warp[stage_key]
+                features = None
+                Cs = feat_warp[1][3]
+            else:
+                feat_warp = None
+                feats_stage = feats_flat[stage_key]
+                Cs = feats_stage.shape[-1]
+                features = feats_stage.reshape(B, V, h, w, Cs)
             projs = compose_projection(proj_matrices[stage_key])  # [B,V,4,4]
 
             # The reference builds [B, nd, H, W] full-res sample volumes
@@ -282,7 +305,8 @@ class CascadeMVSNet(nn.Module):
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail,
                 name=f"stage{stage_idx + 1}")(
-                features, projs, depth_samples, imgs_stage, train, want_volume)
+                features, projs, depth_samples, imgs_stage, train,
+                want_volume, feat_warp=feat_warp)
 
             depth = stage_out["depth"]
             if want_volume:

@@ -64,11 +64,16 @@ def pack_featurenet(params, batch_stats, dtype=jnp.bfloat16):
 
 
 def featurenet_packed(packed, x, num_stage: int = 3,
+                      out_layout: str = "nhwc",
                       interpret: bool = False):
     """Folded-weight FeatureNet forward; mirrors FeatureNet.__call__
     (nn/featurenet.py:47-75) output-for-output.
 
-    x: [N, H, W, 3], H and W divisible by 4 → {stage1..3} NHWC maps.
+    x: [N, H, W, 3], H and W divisible by 4 → {stage1..3} NHWC maps, or
+    with out_layout='warp', {stage1..3: (src2d, meta)} in the warp
+    kernel's source layout (meta = (V, hm, row0, C, w_pad) for
+    plane_sweep_variance_lanes(src2d=..., src_meta=...)) — the stage
+    heads write it directly, skipping the NHWC transposes entirely.
     """
     dt = packed["dtype"]
     N, H, W, _ = x.shape
@@ -86,24 +91,42 @@ def featurenet_packed(packed, x, num_stage: int = 3,
     conv1 = acts["conv1_2"]
     intra, geo1 = acts["conv2_2"]
 
-    outputs = {"stage1": cm_to_nhwc(
-        matmul_cm(intra, geo1, packed["out1"][0]), geo1)}
+    warp = out_layout == "warp"
+
+    def head_1x1(flat_in, g, name):
+        """out1: 1×1 no-bias head — as a conv2d_cm for warp layout."""
+        if not warp:
+            return cm_to_nhwc(matmul_cm(flat_in, g, packed[name][0]), g)
+        w11 = packed[name][0][None, None]              # [1, 1, Ci, Co]
+        out, g2 = conv2d_cm(flat_in, g, w11.astype(dt), stride=1,
+                            padding=0, out_layout="warp",
+                            interpret=interpret)
+        return out, (g2.views, g2.hm, g2.row0, w11.shape[-1],
+                     -(-g2.width // 128) * 128)
+
+    def head_3x3(flat_in, g, name):
+        out, g2 = conv2d_cm(flat_in, g, packed[name][0].astype(dt),
+                            stride=1, padding=1,
+                            out_layout="warp" if warp else "cm",
+                            interpret=interpret)
+        if not warp:
+            return cm_to_nhwc(out, g2)
+        return out, (g2.views, g2.hm, g2.row0, packed[name][0].shape[-1],
+                     -(-g2.width // 128) * 128)
+
+    outputs = {"stage1": head_1x1(intra, geo1, "out1")}
     if num_stage >= 2:
         up, geo_up = upsample2_cm(intra, geo1)
         assert geo_up == conv1[1], (geo_up, conv1[1])
         intra = up + matmul_cm(conv1[0], conv1[1], packed["inner1"][0],
                                packed["inner1"][1])
-        out2, geo2 = conv2d_cm(intra, geo_up, packed["out2"][0].astype(dt),
-                               stride=1, padding=1, interpret=interpret)
-        outputs["stage2"] = cm_to_nhwc(out2, geo2)
+        outputs["stage2"] = head_3x3(intra, geo_up, "out2")
     if num_stage >= 3:
         up, geo_up = upsample2_cm(intra, geo_up)
         assert geo_up == conv0[1], (geo_up, conv0[1])
         intra = up + matmul_cm(conv0[0], conv0[1], packed["inner2"][0],
                                packed["inner2"][1])
-        out3, geo3 = conv2d_cm(intra, geo_up, packed["out3"][0].astype(dt),
-                               stride=1, padding=1, interpret=interpret)
-        outputs["stage3"] = cm_to_nhwc(out3, geo3)
+        outputs["stage3"] = head_3x3(intra, geo_up, "out3")
     return outputs
 
 

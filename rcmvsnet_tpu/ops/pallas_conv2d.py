@@ -162,7 +162,8 @@ def _pack_weights(kernel, ci_p, co_p, scale):
 
 def _band_kernel(w_ref, b_ref, x_hbm, out_ref, *, kh: int, p: int,
                  ci_p: int, co_p: int, R: int, wm: int, geo: CMGeo,
-                 stride: int, relu: bool, interpret: bool, compute_dtype):
+                 stride: int, relu: bool, out_layout: str, w_out: int,
+                 interpret: bool, compute_dtype):
     b = pl.program_id(0)
     L = R * wm
     precision = (jax.lax.Precision.HIGHEST
@@ -183,8 +184,9 @@ def _band_kernel(w_ref, b_ref, x_hbm, out_ref, *, kh: int, p: int,
                     precision=precision)                  # [kw·Co', L]
         acc = None
         for dx in range(kh):
-            piece = roll(y[dx * co_p:(dx + 1) * co_p],
-                         (p - dx) % L, axis=1)
+            piece = y[dx * co_p:(dx + 1) * co_p]
+            if (p - dx) % L:
+                piece = roll(piece, (p - dx) % L, axis=1)
             acc = piece if acc is None else acc + piece
         acc = acc + b_ref[:]
         if relu:
@@ -201,7 +203,20 @@ def _band_kernel(w_ref, b_ref, x_hbm, out_ref, *, kh: int, p: int,
         ok = ((row >= geo.row0) & (row < geo.row0 + geo.height)
               & (col >= geo.col0) & (col < geo.col0 + geo.width)
               & (row_abs < geo.rows))
-        out_ref[:] = jnp.where(ok, acc, 0.0).astype(out_ref.dtype)
+        acc = jnp.where(ok, acc, 0.0)
+        if out_layout == "warp":
+            # emit the warp kernel's row-major layout: rows (y·Co + co),
+            # data cols shifted to lane 0 (roll wrap brings margin zeros)
+            pieces = []
+            for r in range(R):
+                piece = acc[:, r * wm:(r + 1) * wm]
+                if geo.col0:
+                    piece = roll(piece, wm - geo.col0, axis=1)
+                pieces.append(piece[:, :w_out])
+            out_ref[:] = jnp.concatenate(pieces, axis=0).astype(
+                out_ref.dtype)
+        else:
+            out_ref[:] = acc.astype(out_ref.dtype)
 
     pl.run_scoped(
         body,
@@ -214,9 +229,18 @@ def conv2d_cm(flat: jnp.ndarray, geo: CMGeo, kernel: jnp.ndarray, *,
               scale: jnp.ndarray | None = None,
               shift: jnp.ndarray | None = None,
               relu: bool = False, rows_per_band: int | None = None,
+              out_layout: str = "cm",
               interpret: bool = False) -> tuple[jnp.ndarray, CMGeo]:
     """torch-Conv2d(k, stride, padding=p) + folded eval-BN + ReLU on the
     flat channel-major layout. Returns (flat' [Co, lanes'], geo').
+
+    out_layout='warp' instead emits the plane-sweep warp kernel's
+    source layout [rows_pad·Co, round_up(width, 128)]: row-major
+    (abs_row·Co + co) with each row's data cols shifted to lane 0 and
+    zeros beyond — directly consumable by
+    ops.pallas_warp2.plane_sweep_variance_lanes(src2d=...) with
+    src_hm=geo.hm, src_row0=geo.row0 (stride 1 only, Co a multiple
+    of 8).
 
     PRECONDITION: geo margins ≥ padding on every side (the zero margins
     are the conv's zero padding).
@@ -230,6 +254,9 @@ def conv2d_cm(flat: jnp.ndarray, geo: CMGeo, kernel: jnp.ndarray, *,
     compute_dtype = flat.dtype
     R = rows_per_band or (32 if kh == 3 else 16)
     rows_pad = _round_up(geo.rows, R)
+    w_out = _round_up(geo.width, 128)
+    if out_layout == "warp":
+        assert stride == 1 and co == co_p, (stride, co, co_p)
 
     x_hbm = jnp.pad(flat, ((0, ci_p - ci),
                            (p * geo.wm,
@@ -241,8 +268,8 @@ def conv2d_cm(flat: jnp.ndarray, geo: CMGeo, kernel: jnp.ndarray, *,
 
     kern = functools.partial(
         _band_kernel, kh=kh, p=p, ci_p=ci_p, co_p=co_p, R=R, wm=geo.wm,
-        geo=geo, stride=stride, relu=relu, interpret=interpret,
-        compute_dtype=compute_dtype)
+        geo=geo, stride=stride, relu=relu, out_layout=out_layout,
+        w_out=w_out, interpret=interpret, compute_dtype=compute_dtype)
     itemsize = np.dtype(compute_dtype).itemsize
     L = R * geo.wm
     vmem_bytes = int(min(110 * 1024 * 1024,
@@ -260,14 +287,22 @@ def conv2d_cm(flat: jnp.ndarray, geo: CMGeo, kernel: jnp.ndarray, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((co_p, L // stride), lambda b: (0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (co_p, rows_pad * geo.wm // stride), compute_dtype),
+        out_specs=(pl.BlockSpec((R * co, w_out), lambda b: (b, 0),
+                                memory_space=pltpu.VMEM)
+                   if out_layout == "warp" else
+                   pl.BlockSpec((co_p, L // stride), lambda b: (0, b),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rows_pad * co, w_out),
+                                        compute_dtype)
+                   if out_layout == "warp" else
+                   jax.ShapeDtypeStruct(
+                       (co_p, rows_pad * geo.wm // stride), compute_dtype)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         **({"interpret": True} if interpret else {}),
     )(w_packed, bias, x_hbm)
 
+    if out_layout == "warp":
+        return out, geo
     if stride == 2:
         # rows already even-selected in-kernel; de-interleave the cols
         assert (geo.row0 % 2 == 0 and geo.col0 % 2 == 0

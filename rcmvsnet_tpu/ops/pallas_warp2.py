@@ -93,9 +93,9 @@ def _coords_inkernel(proj_ref, depth, v: int, h: int, w: int, wp: int,
 
 def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                      *, views: int, band: int, C: int, h: int, w: int,
-                     w_src: int, R: int, wp: int, x_band: int | None,
-                     x_tile: int, x_align: int, interpret: bool,
-                     compute_dtype):
+                     w_src: int, src_hm: int, src_row0: int, R: int,
+                     wp: int, x_band: int | None, x_tile: int,
+                     x_align: int, interpret: bool, compute_dtype):
     """One step: variance over all views for (depth plane, R-row group).
 
     src_ref: [V·h·C, w] resident stacked feature maps; proj_ref: SMEM
@@ -124,7 +124,7 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
         kx_rel = jax.lax.broadcasted_iota(
             jnp.int32, (x_band, R * x_tile), 0).astype(jnp.float32)
     else:
-        kx = jax.lax.broadcasted_iota(jnp.int32, (w, lanes), 0).astype(
+        kx = jax.lax.broadcasted_iota(jnp.int32, (w_src, lanes), 0).astype(
             jnp.float32)
 
     depth = dv_ref[0, 0]                                  # [1, lanes]
@@ -139,7 +139,8 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
     zpad = (jnp.zeros((C, wp - w_src), jnp.float32)
             if wp > w_src else None)
     for r in range(R):
-        row = src_ref[pl.ds((row0 + r) * C, C), :].astype(jnp.float32)
+        row = src_ref[pl.ds((src_row0 + row0 + r) * C, C),
+                      :].astype(jnp.float32)
         pieces.append(row if zpad is None
                       else jnp.concatenate([row, zpad], axis=1))
     ref_b = roll(jnp.concatenate(pieces, axis=1), 1, axis=1)  # [C, lanes]
@@ -152,7 +153,7 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
         jy = (sub_i + ymin).astype(jnp.float32)
         hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py - jy))  # [band·C, lanes]
         if not banded_x:
-            rows = src_ref[pl.ds((v * h + ymin) * C, band * C), :]
+            rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C, band * C), :]
             rows = rows.astype(compute_dtype)             # [band·C, w]
             hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(px - kx))
             out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
@@ -179,7 +180,7 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                     (jnp.floor(jnp.min(pxt)).astype(jnp.int32) // x_align)
                     * x_align, 0, w_src - x_band)
                 xmin = pl.multiple_of(xmin, x_align)
-                rows = src_ref[pl.ds((v * h + ymin) * C, band * C),
+                rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C, band * C),
                                pl.ds(xmin, x_band)]
                 rows = rows.astype(compute_dtype)        # [band·C, x_band]
                 hat_x = jnp.maximum(
@@ -210,6 +211,7 @@ def plane_sweep_variance_lanes(
         depth_values: jnp.ndarray, lay: LaneLayout, *,
         rows_per_step: int = 4, band: int = 8,
         x_band: int | None = None, x_tile: int = 128, x_align: int = 128,
+        src2d: jnp.ndarray | None = None, src_meta=None,
         compute_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
         interpret: bool = False) -> jnp.ndarray:
     """Variance cost volume in the lanes layout, single batch element.
@@ -220,13 +222,23 @@ def plane_sweep_variance_lanes(
     ops.pallas_costreg.costreg_lanes — equal to
     to_lanes(plane_sweep_variance(...)) up to compute_dtype rounding.
 
+    src2d + src_meta=(V, hm, row0, C, w_pad): pre-built row-major source
+    (conv2d_cm(out_layout='warp') emits it directly, skipping the NHWC
+    transpose here); rows (v·hm + row0 + y)·C + c, data cols at lane 0,
+    zeros beyond w. `features` is ignored then and may be None.
+
     PRECONDITION: every (depth, R-row group)'s source-y spread fits the
     static band for every view — check_group_coverage.
     """
-    V, h, w, C = features.shape
+    if src_meta is not None:
+        V, src_hm, src_row0, C, w_pad = src_meta
+        h, w = lay.h, lay.w
+    else:
+        V, h, w, C = features.shape
+        src_hm, src_row0, w_pad = h, 0, w
     D = depth_values.shape[0]
     R, wp = rows_per_step, lay.wp
-    assert (h, w) == (lay.h, lay.w) and h % R == 0, (features.shape, lay, R)
+    assert (h, w) == (lay.h, lay.w) and h % R == 0, (h, w, lay, R)
     banded = x_band is not None and x_band < w
     if banded:
         # window starts are clipped to w_src−x_band; the pl.multiple_of
@@ -235,14 +247,22 @@ def plane_sweep_variance_lanes(
         assert x_band % x_align == 0, (x_band, x_align)
         w_src = -(-w // x_align) * x_align
     else:
-        w_src = w
+        w_src = -(-w // x_align) * x_align if src_meta is not None else w
+
     n_rg = h // R
 
-    # stacked channel-major feature maps: [V·h·C, w_src] (view-major rows)
-    src2d = jnp.transpose(features.astype(compute_dtype),
-                          (0, 1, 3, 2)).reshape(V * h * C, w)
-    if w_src != w:
-        src2d = jnp.pad(src2d, ((0, 0), (0, w_src - w)))
+    if src2d is None:
+        # stacked channel-major feature maps [V·h·C, w_src] (view-major)
+        src2d = jnp.transpose(features.astype(compute_dtype),
+                              (0, 1, 3, 2)).reshape(V * h * C, w)
+        if w_src != w:
+            src2d = jnp.pad(src2d, ((0, 0), (0, w_src - w)))
+    else:
+        assert w_pad >= w_src and src2d.shape[1] == w_pad, (
+            src2d.shape, w_src)
+        assert src2d.shape[0] >= V * src_hm * C, (src2d.shape, src_meta)
+        w_src = w_pad
+        src2d = src2d.astype(compute_dtype)
 
     # SMEM-resident relative projections [V, 16]; coords are computed
     # in-register per grid step (the old precomputed px/py fields moved
@@ -272,8 +292,9 @@ def plane_sweep_variance_lanes(
     mask = jnp.asarray(_row_mask_np(R, wp, w))
     kern = functools.partial(
         _warp_var_kernel, views=V, band=band, C=C, h=h, w=w, w_src=w_src,
-        R=R, wp=wp, x_band=x_band, x_tile=x_tile, x_align=x_align,
-        interpret=interpret, compute_dtype=compute_dtype)
+        src_hm=src_hm, src_row0=src_row0, R=R, wp=wp, x_band=x_band,
+        x_tile=x_tile, x_align=x_align, interpret=interpret,
+        compute_dtype=compute_dtype)
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     vmem = int(min(127 * 1024 * 1024, src_bytes + 28 * 1024 * 1024))
     return pl.pallas_call(
@@ -286,7 +307,7 @@ def plane_sweep_variance_lanes(
             pl.BlockSpec((1, R * wp), lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
             out_spec,                 # aliased zero template
-            pl.BlockSpec((V * h * C, w_src), lambda d, r: (0, 0),
+            pl.BlockSpec(src2d.shape, lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,

@@ -49,3 +49,30 @@ def test_packed_shapes_gate():
     assert packed_shapes_ok(128, 160)
     assert not packed_shapes_ok(126, 160)
     assert not packed_shapes_ok(128, 150)
+
+
+def test_warp_layout_matches_nhwc():
+    """out_layout='warp' must hold exactly the NHWC features rearranged
+    to the warp kernel's row-major source layout."""
+    rng = np.random.default_rng(11)
+    H, W = 32, 48
+    x = jnp.asarray(rng.standard_normal((2, H, W, 3)).astype(np.float32))
+    fnet = FeatureNet(8, 3)
+    variables = _random_variables(rng, fnet, x)
+    packed = pack_featurenet(variables["params"], variables["batch_stats"],
+                             dtype=jnp.float32)
+    nhwc = featurenet_packed(packed, x, interpret=True)
+    warp = featurenet_packed(packed, x, out_layout="warp", interpret=True)
+    for stage in ("stage1", "stage2", "stage3"):
+        src2d, (V, hm, row0, C, w_pad) = warp[stage]
+        ref = np.asarray(nhwc[stage])          # [N, h, w, C]
+        N, h, w, _ = ref.shape
+        got = np.asarray(src2d)
+        assert got.shape[1] == w_pad and w_pad >= w
+        for v in range(V):
+            block = got[(v * hm + row0) * C:(v * hm + row0 + h) * C]
+            block = block.reshape(h, C, w_pad)
+            np.testing.assert_allclose(
+                np.transpose(block[:, :, :w], (0, 2, 1)), ref[v],
+                rtol=1e-4, atol=1e-4, err_msg=f"{stage} v{v}")
+            assert np.all(block[:, :, w:] == 0)

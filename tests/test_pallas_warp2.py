@@ -132,3 +132,29 @@ def test_rows8_band16_config():
         [projs[v][None] for v in range(1, V)], projs[0][None], dv[None])
     np.testing.assert_allclose(_lanes_to_ndhwc(got, lay, C),
                                np.asarray(want[0]), rtol=1e-4, atol=1e-4)
+
+
+def test_src2d_premade_matches():
+    """Pre-built warp-layout source (+margin rows) must reproduce the
+    features-path variance exactly."""
+    feats, projs, dv, pairs, _ = _setup(H=16, W=24, V=4)
+    V, H, W, C = feats.shape
+    lay = make_layout(H, W, 512)
+    kw = dict(rows_per_step=4, band=8, compute_dtype=jnp.float32,
+              out_dtype=jnp.float32, interpret=True)
+    want = plane_sweep_variance_lanes(feats, projs, dv, lay, **kw)
+    # emulate conv2d_cm(out_layout='warp'): per view block of hm rows,
+    # data rows at row0, data cols at lane 0, zeros to w_pad
+    hm, row0 = H + 4, 2
+    w_pad = -(-W // 128) * 128
+    src = np.zeros((V * hm * C, w_pad), np.float32)
+    fnp = np.asarray(feats)
+    for v in range(V):
+        block = np.transpose(fnp[v], (0, 2, 1))       # [H, C, W]
+        src[(v * hm + row0) * C:(v * hm + row0 + H) * C, :W] = \
+            block.reshape(H * C, W)
+    got = plane_sweep_variance_lanes(
+        None, projs, dv, lay, src2d=jnp.asarray(src),
+        src_meta=(V, hm, row0, C, w_pad), **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
