@@ -126,6 +126,53 @@ def pick_fast_path(args, sample):
     return 0, 24, 8, (0, 0, 0)
 
 
+def build_forward(cascade, args, sample):
+    """jitted eval forward with the packed-FeatureNet fast path.
+
+    On TPU (and unless --no_pallas) the FeatureNet runs through the
+    Pallas channel-major chain (nn/featurenet_fast.py); when every stage
+    additionally takes the fully fused warp+costreg path, the feature
+    heads hand the warp kernel its source layout directly
+    (out_layout='warp')."""
+    from ..nn.featurenet_fast import (featurenet_packed, pack_featurenet,
+                                      packed_shapes_ok)
+    Hs, Ws = sample["imgs"].shape[1:3]
+    use_packed = (jax.default_backend() == "tpu"
+                  and not getattr(args, "no_pallas", False)
+                  and packed_shapes_ok(Hs, Ws))
+    # warp-layout handoff requires the fully fused path at every stage
+    # (mirrors the _DepthStage fused gate)
+    ndepths = tuple(int(x) for x in args.ndepths.split(",") if x)
+    rows = cascade.pallas_warp_rows
+    warp_layout = (use_packed and cascade.pallas_costreg
+                   and cascade.pallas_warp_max_bytes > 0
+                   and all(d % 8 == 0 for d in ndepths)
+                   and all((Hs // sc) % rows == 0
+                           and (Hs // sc) % 8 == 0
+                           and (Ws // sc) % 8 == 0
+                           and (Hs // sc) * (Ws // sc)
+                           * cascade.base_channels * sc * 2
+                           <= cascade.pallas_warp_max_bytes
+                           for sc in (4, 2, 1)))
+
+    def _fwd(v, imgs, projs, dv):
+        features = features_warp = None
+        if use_packed:
+            packed = pack_featurenet(v["params"]["feature"],
+                                     v["batch_stats"]["feature"])
+            feats = featurenet_packed(
+                packed, imgs.astype(jnp.bfloat16).reshape(-1, Hs, Ws, 3),
+                out_layout="warp" if warp_layout else "nhwc")
+            if warp_layout:
+                features_warp = feats
+            else:
+                features = feats
+        return cascade.apply(v, imgs, projs, dv, train=False,
+                             features=features,
+                             features_warp=features_warp)
+    return jax.jit(_fwd)
+
+
 def load_variables(cascade, ckpt_path, sample):
     """Load our msgpack export or convert a reference torch checkpoint."""
     imgs = jnp.asarray(sample["imgs"])[None]
@@ -164,45 +211,7 @@ def save_depth(args, testlist):
                             max_h=args.max_h, max_w=args.max_w)
         if cascade is None:
             cascade = build_model(args, *pick_fast_path(args, ds[0]))
-            from ..nn.featurenet_fast import (featurenet_packed,
-                                              pack_featurenet,
-                                              packed_shapes_ok)
-            Hs, Ws = ds[0]["imgs"].shape[1:3]
-            use_packed = (jax.default_backend() == "tpu"
-                          and not getattr(args, "no_pallas", False)
-                          and packed_shapes_ok(Hs, Ws))
-            # warp-layout handoff requires the fully fused path at every
-            # stage (mirrors the _DepthStage fused gate)
-            ndepths = tuple(int(x) for x in args.ndepths.split(",") if x)
-            rows = cascade.pallas_warp_rows
-            warp_layout = (use_packed and cascade.pallas_costreg
-                           and cascade.pallas_warp_max_bytes > 0
-                           and all(d % 8 == 0 for d in ndepths)
-                           and all((Hs // sc) % rows == 0
-                                   and (Hs // sc) % 8 == 0
-                                   and (Ws // sc) % 8 == 0
-                                   and (Hs // sc) * (Ws // sc)
-                                   * cascade.base_channels * sc * 2
-                                   <= cascade.pallas_warp_max_bytes
-                                   for sc in (4, 2, 1)))
-
-            def _fwd(v, imgs, projs, dv):
-                features = features_warp = None
-                if use_packed:
-                    packed = pack_featurenet(v["params"]["feature"],
-                                             v["batch_stats"]["feature"])
-                    feats = featurenet_packed(
-                        packed,
-                        imgs.astype(jnp.bfloat16).reshape(-1, Hs, Ws, 3),
-                        out_layout="warp" if warp_layout else "nhwc")
-                    if warp_layout:
-                        features_warp = feats
-                    else:
-                        features = feats
-                return cascade.apply(v, imgs, projs, dv, train=False,
-                                     features=features,
-                                     features_warp=features_warp)
-            forward = jax.jit(_fwd)
+            forward = build_forward(cascade, args, ds[0])
             variables = load_variables(cascade, args.loadckpt, ds[0])
         for i in range(len(ds)):
             sample = ds[i]

@@ -21,7 +21,8 @@ import numpy as np
 from ..core.io import save_pfm, write_cam_file
 from ..data.tanks import ADVANCED_SCANS, INTERMEDIATE_SCANS, TanksDataset
 from ..fusion.fuse import fuse_scan
-from .eval_dtu import build_model, load_variables, pick_fast_path
+from .eval_dtu import (build_forward, build_model, load_variables,
+                       pick_fast_path)
 
 # per-scene fusion hyperparameters, transcribed 1:1 from
 # eval_rcmvsnet_tanks.py:400-440 (intermediate) and :460-491 (advanced);
@@ -93,8 +94,7 @@ def main(argv=None):
         ds = TanksDataset(args.testpath, args.split, nviews=args.num_view,
                           img_wh=img_wh, ndepths=args.numdepth)
         cascade = build_model(args, *pick_fast_path(args, ds[0]))
-        forward = jax.jit(lambda v, imgs, projs, dv: cascade.apply(
-            v, imgs, projs, dv, train=False))
+        forward = build_forward(cascade, args, ds[0])
         variables = load_variables(cascade, args.loadckpt, ds[0])
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
         import cv2
