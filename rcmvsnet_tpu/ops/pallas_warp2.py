@@ -118,7 +118,7 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
     banded_x = x_band is not None and x_band < w
-    sub_i = jax.lax.broadcasted_iota(jnp.int32, (band * C, lanes), 0) // C
+    sub_j = jax.lax.broadcasted_iota(jnp.int32, (band, lanes), 0)
     if banded_x:
         n_xt = wp // x_tile
         kx_rel = jax.lax.broadcasted_iota(
@@ -150,8 +150,11 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
         px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0)
         ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
                         0, h - band)
-        jy = (sub_i + ymin).astype(jnp.float32)
-        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py - jy))  # [band·C, lanes]
+        jy = (sub_j + ymin).astype(jnp.float32)
+        # hat_y stays [band, lanes]: the per-row weight folds into the
+        # band reduction as a [1, lanes] broadcast multiply — C× fewer
+        # VPU ops than materializing it at [band·C, lanes]
+        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py - jy))  # [band, lanes]
         if not banded_x:
             rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C, band * C), :]
             rows = rows.astype(compute_dtype)             # [band·C, w]
@@ -159,10 +162,9 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
             out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
                             preferred_element_type=jnp.float32,
                             precision=precision)          # [band·C, lanes]
-            wgt = out_x * hat_y
             con = None
             for s in range(band):
-                piece = wgt[s * C:(s + 1) * C, :]
+                piece = out_x[s * C:(s + 1) * C, :] * hat_y[s:s + 1, :]
                 con = piece if con is None else con + piece
         else:
             row_pieces = [[] for _ in range(R)]
@@ -175,7 +177,7 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                 pyt = jnp.concatenate(
                     [hat_y[:, r * wp + xt * x_tile:
                            r * wp + xt * x_tile + x_tile]
-                     for r in range(R)], axis=1)    # hat_y tile [bC, R·xt]
+                     for r in range(R)], axis=1)   # hat_y tile [band, R·xt]
                 xmin = jnp.clip(
                     (jnp.floor(jnp.min(pxt)).astype(jnp.int32) // x_align)
                     * x_align, 0, w_src - x_band)
@@ -189,10 +191,10 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
                 out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
                                 preferred_element_type=jnp.float32,
                                 precision=precision)     # [band·C, R·xt]
-                wgt = out_x * pyt
                 cont = None
                 for s in range(band):
-                    piece = wgt[s * C:(s + 1) * C, :]
+                    piece = (out_x[s * C:(s + 1) * C, :]
+                             * pyt[s:s + 1, :])
                     cont = piece if cont is None else cont + piece
                 for r in range(R):
                     row_pieces[r].append(
