@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..core.geometry import (compose_projection, linspace_depth_samples,
-                             window_depth_samples)
+from ..core.geometry import compose_projection
 from ..nn.costreg import CostRegNet
 from ..nn.featurenet import FeatureNet
 from ..ops.sampling import resize_bilinear
@@ -80,23 +79,27 @@ class _DepthStage(nn.Module):
     use_pallas_tail: bool = False
 
     @nn.compact
-    def __call__(self, features, projs, depth_values, imgs_stage=None,
+    def __call__(self, features, projs, depth_planes, imgs_stage=None,
                  train: bool = False, want_volume: bool = False,
                  feat_warp=None):
         """
         features: [B, V, h, w, C] stage features; projs: [B, V, 4, 4]
-        K-folded; depth_values: [B, D, h, w]; imgs_stage: [B, V, h, w, 3]
-        (only needed when want_volume); feat_warp: optional
-        (src2d, meta) warp-layout features from
-        featurenet_fast.featurenet_packed(out_layout='warp') — the fully
-        fused eval path then never materializes NHWC features.
+        K-folded; depth_planes: (lo [B, h, w], step [B, h, w], D) — the
+        per-pixel hypothesis schedule dv(d) = lo + d·step (the full
+        [B, D, h, w] volume is only materialized on the non-fused
+        paths); imgs_stage: [B, V, h, w, 3] (only needed when
+        want_volume); feat_warp: optional (src2d, meta) warp-layout
+        features from featurenet_fast.featurenet_packed
+        (out_layout='warp') — the fully fused eval path then never
+        materializes NHWC features.
         Returns dict with depth [B,h,w], photometric_confidence [B,h,w], and
         optionally volume_feature_no_ref [B, D, h, w, 3(V−1)+C].
         """
+        lo, step, D = depth_planes
         if feat_warp is not None:
             src2d, meta = feat_warp
             B, (V, _, _, C, _) = 1, meta
-            h, w = depth_values.shape[2:4]
+            h, w = lo.shape[1:3]
         else:
             B, V, h, w, C = features.shape
             ref_feat = features[:, 0]
@@ -104,7 +107,9 @@ class _DepthStage(nn.Module):
         ref_proj = projs[:, 0]
         src_projs = [projs[:, i] for i in range(1, V)]
 
-        D = depth_values.shape[1]
+        def depth_volume():
+            idx = jnp.arange(D, dtype=lo.dtype).reshape(1, -1, 1, 1)
+            return lo[:, None] + idx * step[:, None]
         # fully-fused fast path: one kernel builds the multi-view variance
         # straight into the cost regularizer's lane layout (no warped
         # volumes, no accumulation passes, no layout conversion)
@@ -126,16 +131,17 @@ class _DepthStage(nn.Module):
                 xb = None
             var_lanes = plane_sweep_variance_lanes(
                 None if feat_warp is not None else features[0],
-                projs[0], depth_values[0], lay,
+                projs[0], None, lay,
                 rows_per_step=self.pallas_warp_rows, band=self.pallas_band,
-                x_band=xb,
+                x_band=xb, depth_planes=(lo[0], step[0], D),
                 **({"src2d": src2d, "src_meta": meta}
                    if feat_warp is not None else {}))
             cost = CostRegNet(self.base_channels, conv_impl="lanes",
                               name="cost_reg")(
                 var_lanes, train, lanes_dims=(D, h, w, C))
-            return self._tail(cost, depth_values, train, {})
+            return self._tail(cost, (lo, step, D), train, {})
 
+        depth_values = depth_volume()
         if self.use_pallas_warp and not train:
             from ..ops.pallas_warp import plane_sweep_variance_fast
             variance = plane_sweep_variance_fast(
@@ -165,10 +171,17 @@ class _DepthStage(nn.Module):
         return self._tail(cost, depth_values, train, extras)
 
     def _tail(self, cost, depth_values, train, extras):
+        planes = isinstance(depth_values, tuple)
         if self.use_pallas_tail and not train:
             from ..ops.pallas_tail import fused_depth_tail
-            depth, conf = fused_depth_tail(cost[..., 0], depth_values)
+            dv = ((depth_values[0], depth_values[1]) if planes
+                  else depth_values)
+            depth, conf = fused_depth_tail(cost[..., 0], dv)
         else:
+            if planes:
+                lo, step, D = depth_values
+                idx = jnp.arange(D, dtype=lo.dtype).reshape(1, -1, 1, 1)
+                depth_values = lo[:, None] + idx * step[:, None]
             prob_volume = jax.nn.softmax(cost[..., 0].astype(jnp.float32),
                                          axis=1)
             depth = depth_regression(prob_volume, depth_values)
@@ -269,11 +282,16 @@ class CascadeMVSNet(nn.Module):
             # and trilinear-downsizes them (modules.py:549-591 +
             # Align_Corners_Range interpolate). The window offsets are
             # linear and per-pixel constant along (h, w), and the depth
-            # axis of that resize is the identity, so downsizing the
-            # SCALAR depth map before windowing yields the same samples
-            # without ever materializing nd·H·W volumes (~150 MB/stage).
+            # axis of that resize is the identity, so the schedule is
+            # fully described by two [B, h, w] maps — dv(d) = lo + d·step
+            # — computed from the downsized SCALAR depth map. The fused
+            # kernels consume (lo, step) directly; the [B, nd, h, w]
+            # volume only materializes on the non-fused paths.
             if depth is None:
-                depth_samples = linspace_depth_samples(depth_values, nd, h, w)
+                d_min = depth_values[:, 0]
+                lin_step = (depth_values[:, -1] - d_min) / (nd - 1)
+                lo = jnp.broadcast_to(d_min[:, None, None], (B, h, w))
+                step = jnp.broadcast_to(lin_step[:, None, None], (B, h, w))
             else:
                 cur = jax.lax.stop_gradient(depth) if self.grad_detach else depth
                 cur = resize_bilinear(cur[..., None], H, W,
@@ -283,7 +301,10 @@ class CascadeMVSNet(nn.Module):
                                           align_corners=False)[..., 0]
                 interval = (self.depth_intervals_ratio[stage_idx]
                             * depth_interval)[:, None, None]
-                depth_samples = window_depth_samples(cur, nd, interval)
+                lo = cur - nd / 2.0 * interval
+                hi = cur + nd / 2.0 * interval
+                step = (hi - lo) / (nd - 1)
+            depth_samples = (lo, step, nd)
 
             want_volume = return_volume and stage_idx == 0
             imgs_stage = None

@@ -34,9 +34,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _tail_kernel(cost_ref, dv_ref, depth_ref, conf_ref, *, ndepth: int):
+def _tail_kernel(cost_ref, dv_a, dv_b, depth_ref, conf_ref, *,
+                 ndepth: int, planes_mode: bool):
     c = cost_ref[:].astype(jnp.float32)            # [D, L]
-    dv = dv_ref[:].astype(jnp.float32)             # [D, L]
+    if planes_mode:
+        # hypotheses linear in the plane index: dv = lo + d·step
+        iota_d = jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+        dv = dv_a[:] + iota_d.astype(jnp.float32) * dv_b[:]
+    else:
+        dv = dv_a[:].astype(jnp.float32)           # [D, L]
     m = jnp.max(c, axis=0, keepdims=True)
     e = jnp.exp(c - m)
     s = jnp.sum(e, axis=0, keepdims=True)
@@ -63,27 +69,43 @@ def _tail_kernel(cost_ref, dv_ref, depth_ref, conf_ref, *, ndepth: int):
     conf_ref[0, :] = jnp.sum(sum4 * onehot, axis=0)
 
 
-def _tail_single(cost: jnp.ndarray, depth_values: jnp.ndarray,
-                 lane_tile: int, interpret: bool):
-    """cost, depth_values: [D, H, W] (single batch element)."""
+def _tail_single(cost: jnp.ndarray, depth_values, lane_tile: int,
+                 interpret: bool):
+    """cost: [D, H, W]; depth_values: [D, H, W] or planes (lo, step)
+    each [H, W] (single batch element)."""
     D, H, W = cost.shape
     lanes = H * W
     L = min(lane_tile, _round_up(lanes, 128))
     n_tiles = -(-lanes // L)
     pad = n_tiles * L - lanes
+    planes_mode = isinstance(depth_values, tuple)
 
     c2 = jnp.pad(cost.reshape(D, lanes).astype(jnp.float32),
                  ((0, 0), (0, pad)))
-    d2 = jnp.pad(depth_values.reshape(D, lanes).astype(jnp.float32),
-                 ((0, 0), (0, pad)))
+    if planes_mode:
+        lo, step = depth_values
+        d_a = jnp.pad(lo.reshape(1, lanes).astype(jnp.float32),
+                      ((0, 0), (0, pad)))
+        d_b = jnp.pad(step.reshape(1, lanes).astype(jnp.float32),
+                      ((0, 0), (0, pad)))
+        dv_spec = pl.BlockSpec((1, L), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    else:
+        d_a = d_b = jnp.pad(
+            depth_values.reshape(D, lanes).astype(jnp.float32),
+            ((0, 0), (0, pad)))
+        dv_spec = pl.BlockSpec((D, L), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_tail_kernel, ndepth=D)
+    kern = functools.partial(_tail_kernel, ndepth=D,
+                             planes_mode=planes_mode)
     depth, conf = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((D, L), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, L), lambda i: (0, i), memory_space=pltpu.VMEM),
+            dv_spec,
+            dv_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, L), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -99,19 +121,24 @@ def _tail_single(cost: jnp.ndarray, depth_values: jnp.ndarray,
             vmem_limit_bytes=int(min(100 * 1024 * 1024,
                                      12 * D * L * 4 + 8 * 1024 * 1024))),
         **({"interpret": True} if interpret else {}),
-    )(c2, d2)
+    )(c2, d_a, d_b)
     return (depth[0, :lanes].reshape(H, W), conf[0, :lanes].reshape(H, W))
 
 
-def fused_depth_tail(cost: jnp.ndarray, depth_values: jnp.ndarray,
+def fused_depth_tail(cost: jnp.ndarray, depth_values,
                      lane_tile: int = 8192, interpret: bool = False):
     """Fused softmax → (depth, photometric_confidence) over the depth axis.
 
     cost: [B, D, H, W] regularized cost volume (any float dtype; softmax in
-    f32); depth_values: [B, D, H, W] per-pixel hypothesis planes.
+    f32); depth_values: [B, D, H, W] per-pixel hypothesis planes, or a
+    tuple (lo [B, H, W], step [B, H, W]) for hypotheses linear in the
+    plane index (dv = lo + d·step) — D× less depth data streamed.
     Returns (depth [B, H, W] f32, confidence [B, H, W] f32) — identical to
     softmax + depth_regression + photometric_confidence in models/cascade.py.
     """
     fn = functools.partial(_tail_single, lane_tile=lane_tile,
                            interpret=interpret)
+    if isinstance(depth_values, tuple):
+        return jax.vmap(lambda c, lo, st: fn(c, (lo, st)))(
+            cost, depth_values[0], depth_values[1])
     return jax.vmap(fn)(cost, depth_values)

@@ -91,11 +91,12 @@ def _coords_inkernel(proj_ref, depth, v: int, h: int, w: int, wp: int,
     return px, py
 
 
-def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
-                     *, views: int, band: int, C: int, h: int, w: int,
-                     w_src: int, src_hm: int, src_row0: int, R: int,
-                     wp: int, x_band: int | None, x_tile: int,
-                     x_align: int, interpret: bool, compute_dtype):
+def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
+                     out_ref, *, views: int, band: int, C: int, h: int,
+                     w: int, w_src: int, src_hm: int, src_row0: int,
+                     R: int, wp: int, x_band: int | None, x_tile: int,
+                     x_align: int, planes_mode: bool, interpret: bool,
+                     compute_dtype):
     """One step: variance over all views for (depth plane, R-row group).
 
     src_ref: [V·h·C, w] resident stacked feature maps; proj_ref: SMEM
@@ -127,7 +128,14 @@ def _warp_var_kernel(proj_ref, dv_ref, mask_ref, tmpl_ref, src_ref, out_ref,
         kx = jax.lax.broadcasted_iota(jnp.int32, (w_src, lanes), 0).astype(
             jnp.float32)
 
-    depth = dv_ref[0, 0]                                  # [1, lanes]
+    if planes_mode:
+        # per-pixel hypotheses are linear in the plane index:
+        # dv(d) = lo + d·step — computed in-register from two [h, w]
+        # maps instead of streaming a [D, h, wp] volume from HBM
+        depth = (dv_a[0]
+                 + pl.program_id(0).astype(jnp.float32) * dv_b[0])
+    else:
+        depth = dv_a[0, 0]                                # [1, lanes]
     row0 = pl.program_id(1) * R
     roll = jnp.roll if interpret else pltpu.roll
 
@@ -214,12 +222,16 @@ def plane_sweep_variance_lanes(
         rows_per_step: int = 4, band: int = 8,
         x_band: int | None = None, x_tile: int = 128, x_align: int = 128,
         src2d: jnp.ndarray | None = None, src_meta=None,
+        depth_planes=None,
         compute_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
         interpret: bool = False) -> jnp.ndarray:
     """Variance cost volume in the lanes layout, single batch element.
 
     features: [V, h, w, C] (view 0 = reference); projs: [V, 4, 4] K-folded
-    projections; depth_values: [D, h, w] per-pixel hypotheses.
+    projections; depth_values: [D, h, w] per-pixel hypotheses — or
+    depth_planes=(lo [h, w], step [h, w], D) for hypotheses linear in
+    the plane index (dv = lo + d·step, the cascade's window/linspace
+    schedules): D× less depth data streamed, same values bit-for-bit.
     Returns [D+2, C, lanesp] (lay = make_layout(h, w)) ready for
     ops.pallas_costreg.costreg_lanes — equal to
     to_lanes(plane_sweep_variance(...)) up to compute_dtype rounding.
@@ -238,7 +250,7 @@ def plane_sweep_variance_lanes(
     else:
         V, h, w, C = features.shape
         src_hm, src_row0, w_pad = h, 0, w
-    D = depth_values.shape[0]
+    D = depth_planes[2] if depth_planes is not None else depth_values.shape[0]
     R, wp = rows_per_step, lay.wp
     assert (h, w) == (lay.h, lay.w) and h % R == 0, (h, w, lay, R)
     banded = x_band is not None and x_band < w
@@ -277,11 +289,23 @@ def plane_sweep_variance_lanes(
     proj_pack = jnp.stack(rels).reshape(V, 16).astype(jnp.float32)
 
     # per-pixel depth hypotheses in the aligned-row lane space
-    # [D, n_rg, R·wp] (edge-padded lanes, matching the old coord-field
-    # edge replication)
-    dv_lanes = jnp.pad(depth_values.astype(jnp.float32),
+    # (edge-padded lanes, matching the old coord-field edge replication)
+    if depth_planes is not None:
+        lo, step, _ = depth_planes
+        to_lanes = lambda m: jnp.pad(
+            m.astype(jnp.float32), ((0, 0), (1, wp - w - 1)),
+            mode="edge").reshape(n_rg, 1, R * wp)
+        dv_a, dv_b = to_lanes(lo), to_lanes(step)
+        dv_spec = pl.BlockSpec((1, 1, R * wp), lambda d, r: (r, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        dv_a = jnp.pad(depth_values.astype(jnp.float32),
                        ((0, 0), (0, 0), (1, wp - w - 1)),
                        mode="edge").reshape(D, n_rg, 1, R * wp)
+        dv_b = dv_a     # aliased dummy (unused in volume mode)
+        dv_spec = pl.BlockSpec((1, 1, 1, R * wp),
+                               lambda d, r: (d, r, 0, 0),
+                               memory_space=pltpu.VMEM)
 
     template = jnp.zeros((D + 2, C, lay.lanesp), out_dtype)
     H = lay.halo
@@ -295,7 +319,8 @@ def plane_sweep_variance_lanes(
     kern = functools.partial(
         _warp_var_kernel, views=V, band=band, C=C, h=h, w=w, w_src=w_src,
         src_hm=src_hm, src_row0=src_row0, R=R, wp=wp, x_band=x_band,
-        x_tile=x_tile, x_align=x_align, interpret=interpret,
+        x_tile=x_tile, x_align=x_align,
+        planes_mode=depth_planes is not None, interpret=interpret,
         compute_dtype=compute_dtype)
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     vmem = int(min(127 * 1024 * 1024, src_bytes + 28 * 1024 * 1024))
@@ -304,8 +329,8 @@ def plane_sweep_variance_lanes(
         grid=(D, n_rg),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, R * wp), lambda d, r: (d, r, 0, 0),
-                         memory_space=pltpu.VMEM),
+            dv_spec,
+            dv_spec,
             pl.BlockSpec((1, R * wp), lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
             out_spec,                 # aliased zero template
@@ -314,10 +339,10 @@ def plane_sweep_variance_lanes(
         ],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((D + 2, C, lay.lanesp), out_dtype),
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         **({"interpret": True} if interpret else {}),
-    )(proj_pack, dv_lanes, mask, template, src2d)
+    )(proj_pack, dv_a, dv_b, mask, template, src2d)
 
 
 def check_group_coverage(proj_pairs, depth_values, height, width,
