@@ -121,13 +121,77 @@ def featurenet_packed(packed, x, num_stage: int = 3,
         intra = up + matmul_cm(conv1[0], conv1[1], packed["inner1"][0],
                                packed["inner1"][1])
         outputs["stage2"] = head_3x3(intra, geo_up, "out2")
-    if num_stage >= 3:
+    if num_stage >= 3 and warp:
+        outputs["stage3"] = _stage3_polyphase(packed, intra, geo_up,
+                                              conv0, dt, interpret)
+    elif num_stage >= 3:
         up, geo_up = upsample2_cm(intra, geo_up)
         assert geo_up == conv0[1], (geo_up, conv0[1])
         intra = up + matmul_cm(conv0[0], conv0[1], packed["inner2"][0],
                                packed["inner2"][1])
         outputs["stage3"] = head_3x3(intra, geo_up, "out3")
     return outputs
+
+
+# half-row tap a touched by output parity u and kernel row dy:
+# full row 2i+u taps source full row 2i+u+dy−1 → half row
+# floor((2i+u+dy−1)/2) = i − 1 + a
+_PHASE_TAPS = {0: ((0, 0), (1, 1), (2, 1)), 1: ((0, 1), (1, 1), (2, 2))}
+
+
+def _stage3_polyphase(packed, intra2, geo2, conv0, dt, interpret):
+    """out3 without materializing the full-res intra3 tensor.
+
+    out3 = conv3x3(up2(intra2) + inner2(conv0) + β·mask) decomposes by
+    linearity into
+      * conv(up2(intra2)): computed AT HALF RES as two phase convs
+        (kernels collapse the taps that share a source row/col under
+        nearest ×2 upsampling); emitting warp layout with output
+        channels ordered (u·Co + o) makes the half-res rows land
+        EXACTLY on the full-res warp rows — only a column interleave
+        of the two v-phases remains;
+      * conv(inner2(conv0)): the 1×1 folds into the 3×3
+        (k'[·,·,i,o] = Σ_c W[i,c]·k[·,·,c,o]) — one 8→8 conv on conv0;
+      * conv(β on the data region): a 1-channel conv of the data mask
+        with kb[·,·,o] = Σ_c k[·,·,c,o]·β_c (exact border handling).
+    Returns (src2d, meta) in the warp layout.
+    """
+    from ..ops.pallas_conv2d import lane_mask
+    k3 = packed["out3"][0]                        # [3, 3, Ci, Co]
+    w2, b2 = packed["inner2"]                     # [Ci0, Ci], [Ci]
+    Ci, Co = k3.shape[2], k3.shape[3]
+    geo0 = conv0[1]
+    assert geo2.doubled() == geo0, (geo2, geo0)
+    V, hm_f, row0_f = geo0.views, geo0.hm, geo0.row0
+    w_pad = -(-geo0.width // 128) * 128
+    rows_full = V * hm_f * Co
+
+    def phase_kernel(v):
+        K = jnp.zeros((3, 3, Ci, 2 * Co), k3.dtype)
+        for u in (0, 1):
+            for dy, a in _PHASE_TAPS[u]:
+                for dx, b in _PHASE_TAPS[v]:
+                    K = K.at[a, b, :, u * Co:(u + 1) * Co].add(k3[dy, dx])
+        return K
+
+    ph = [conv2d_cm(intra2, geo2, phase_kernel(v).astype(dt), stride=1,
+                    padding=1, out_layout="warp", interpret=interpret)[0]
+          for v in (0, 1)]
+    up_term = jnp.stack([ph[0][:rows_full], ph[1][:rows_full]],
+                        axis=-1).reshape(rows_full, -1)[:, :w_pad]
+
+    k_fold = jnp.einsum("ic,yxco->yxio", w2, k3)
+    cb = conv2d_cm(conv0[0], geo0, k_fold.astype(dt), stride=1,
+                   padding=1, out_layout="warp", interpret=interpret)[0]
+
+    kb = jnp.einsum("yxco,c->yxo", k3, b2)[:, :, None, :]
+    mask_flat = lane_mask(geo0).astype(dt)
+    cm_mask = conv2d_cm(mask_flat, geo0, kb.astype(dt), stride=1,
+                        padding=1, out_layout="warp",
+                        interpret=interpret)[0]
+
+    src2d = up_term + cb[:rows_full, :w_pad] + cm_mask[:rows_full, :w_pad]
+    return src2d, (V, hm_f, row0_f, Co, w_pad)
 
 
 def packed_shapes_ok(H: int, W: int) -> bool:
