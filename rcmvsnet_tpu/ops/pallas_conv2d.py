@@ -150,6 +150,24 @@ def upsample2_cm(flat: jnp.ndarray, geo: CMGeo) -> tuple[jnp.ndarray, CMGeo]:
     return x.reshape(C, -1), geo.doubled()
 
 
+@functools.lru_cache(maxsize=32)
+def _even_col_mat_np(wm: int):
+    """[wm, wm/2] 0/1: col 2j → j (stride-2 de-interleave on the MXU)."""
+    S = np.zeros((wm, wm // 2), np.float32)
+    for j in range(wm // 2):
+        S[2 * j, j] = 1.0
+    return S
+
+
+def _pick_rows(rows: int, cap: int, need_even: bool) -> int | None:
+    """Largest band size ≤ cap dividing rows (even when stride==2) — a
+    divisor band lets the kernel skip the x_hbm tail pad entirely."""
+    for r in range(cap, 0, -1):
+        if rows % r == 0 and (not need_even or r % 2 == 0):
+            return r
+    return None
+
+
 def _pack_weights(kernel, ci_p, co_p, scale):
     """[kh, kw, Ci, Co] → [kw·Co', kh·Ci'] (dx-major M, dy-major K)."""
     kh, kw, ci, co = kernel.shape
@@ -160,22 +178,70 @@ def _pack_weights(kernel, ci_p, co_p, scale):
     return k.reshape(kw * co_p, kh * ci_p)
 
 
-def _band_kernel(w_ref, b_ref, x_hbm, out_ref, *, kh: int, p: int,
+def _band_kernel(w_ref, b_ref, *refs, kh: int, p: int,
                  ci_p: int, co_p: int, R: int, wm: int, geo: CMGeo,
                  stride: int, relu: bool, out_layout: str, w_out: int,
-                 interpret: bool, compute_dtype):
+                 edge_dma: bool, nb: int, interpret: bool, compute_dtype):
+    if stride == 2:
+        s_ref, x_hbm, out_ref = refs
+    else:
+        s_ref, (x_hbm, out_ref) = None, refs
     b = pl.program_id(0)
     L = R * wm
+    pw = p * wm
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
     roll = jnp.roll if interpret else pltpu.roll
 
     def body(scratch, sem):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(b * L, (R + 2 * p) * wm)], scratch, sem)
-        cp.start()
-        cp.wait()
+        if not edge_dma or p == 0:
+            # non-divisor fallback: x_hbm carries p·wm zero lanes at the
+            # front and a (tail + p·wm) zero pad at the back (p == 0
+            # needs no pad at all) — plain full-window DMA
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(b * L, (R + 2 * p) * wm)], scratch, sem)
+            cp.start()
+            cp.wait()
+        elif nb == 1:
+            scratch[:, :pw] = jnp.zeros((ci_p, pw), compute_dtype)
+            scratch[:, pw + L:] = jnp.zeros((ci_p, pw), compute_dtype)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(0, L)],
+                scratch.at[:, pl.ds(pw, L)], sem)
+            cp.start()
+            cp.wait()
+        else:
+            # unpadded x_hbm: first/last bands read a clipped window and
+            # zero-fill the out-of-range conv taps in VMEM
+            @pl.when(jnp.logical_and(b > 0, b < nb - 1))
+            def _mid():
+                # b·L − pw, written (b−1)·L + (L−pw) so Mosaic can prove
+                # the offset non-negative and 128-aligned
+                start = pl.multiple_of((b - 1) * L + (L - pw), 128)
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(start, (R + 2 * p) * wm)],
+                    scratch, sem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(b == 0)
+            def _first():
+                scratch[:, :pw] = jnp.zeros((ci_p, pw), compute_dtype)
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds(0, L + pw)],
+                    scratch.at[:, pl.ds(pw, L + pw)], sem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(b == nb - 1)
+            def _last():
+                scratch[:, L + pw:] = jnp.zeros((ci_p, pw), compute_dtype)
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[:, pl.ds((nb - 1) * L - pw, L + pw)],
+                    scratch.at[:, pl.ds(0, L + pw)], sem)
+                cp.start()
+                cp.wait()
         xcat = jnp.concatenate(
             [scratch[:, dy * wm:dy * wm + L] for dy in range(kh)],
             axis=0).astype(compute_dtype)                 # [kh·Ci', L]
@@ -204,6 +270,20 @@ def _band_kernel(w_ref, b_ref, x_hbm, out_ref, *, kh: int, p: int,
               & (col >= geo.col0) & (col < geo.col0 + geo.width)
               & (row_abs < geo.rows))
         acc = jnp.where(ok, acc, 0.0)
+        if stride == 2:
+            # col de-interleave in-kernel: stack the R/2 row pieces on
+            # sublanes so the even-col 0/1 selection runs as one well-fed
+            # MXU matmul (the XLA reshape-select equivalent re-tiles the
+            # minor dim at a fraction of HBM bandwidth)
+            rows2 = jnp.concatenate(
+                [acc[:, t * wm:(t + 1) * wm] for t in range(R // 2)],
+                axis=0).astype(compute_dtype)       # [R/2·Co', wm]
+            y2 = jnp.dot(rows2, s_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=precision)       # [R/2·Co', wm/2]
+            acc = jnp.concatenate(
+                [y2[t * co_p:(t + 1) * co_p] for t in range(R // 2)],
+                axis=1)                             # [Co', R/2·wm/2]
         if out_layout == "warp":
             # emit the warp kernel's row-major layout: rows (y·Co + co),
             # data cols shifted to lane 0 (roll wrap brings margin zeros)
@@ -252,63 +332,89 @@ def conv2d_cm(flat: jnp.ndarray, geo: CMGeo, kernel: jnp.ndarray, *,
                geo.wm - geo.col0 - geo.width) >= p, (geo, p)
     ci_p, co_p = _round_up(ci, 8), _round_up(co, 8)
     compute_dtype = flat.dtype
-    R = rows_per_band or (32 if kh == 3 else 16)
+    if rows_per_band is not None:
+        R = rows_per_band
+    else:
+        R = (_pick_rows(geo.rows, 40 if kh == 3 else 20, stride == 2)
+             or (32 if kh == 3 else 16))
+    edge_dma = geo.rows % R == 0
     rows_pad = _round_up(geo.rows, R)
     w_out = _round_up(geo.width, 128)
     if out_layout == "warp":
         assert stride == 1 and co == co_p, (stride, co, co_p)
+    if stride == 2:
+        assert (geo.row0 % 2 == 0 and geo.col0 % 2 == 0
+                and geo.hm % 2 == 0 and geo.wm % 256 == 0
+                and R % 2 == 0), geo
 
-    x_hbm = jnp.pad(flat, ((0, ci_p - ci),
-                           (p * geo.wm,
-                            (rows_pad - geo.rows + p) * geo.wm)))
+    if edge_dma:
+        # divisor band: no lane pre-pad at all — the kernel's first/last
+        # grid steps zero-fill the out-of-range taps in VMEM
+        x_hbm = (flat if ci_p == ci
+                 else jnp.pad(flat, ((0, ci_p - ci), (0, 0))))
+    else:
+        x_hbm = jnp.pad(flat, ((0, ci_p - ci),
+                               (p * geo.wm,
+                                (rows_pad - geo.rows + p) * geo.wm)))
     w_packed = _pack_weights(kernel, ci_p, co_p, scale).astype(compute_dtype)
     bias = (jnp.zeros((co,), jnp.float32) if shift is None
             else shift.astype(jnp.float32))
     bias = jnp.pad(bias, (0, co_p - co))[:, None]
 
+    nb = rows_pad // R
     kern = functools.partial(
         _band_kernel, kh=kh, p=p, ci_p=ci_p, co_p=co_p, R=R, wm=geo.wm,
         geo=geo, stride=stride, relu=relu, out_layout=out_layout,
-        w_out=w_out, interpret=interpret, compute_dtype=compute_dtype)
+        w_out=w_out, edge_dma=edge_dma, nb=nb, interpret=interpret,
+        compute_dtype=compute_dtype)
     itemsize = np.dtype(compute_dtype).itemsize
     L = R * geo.wm
     vmem_bytes = int(min(110 * 1024 * 1024,
                          ci_p * (R + 2 * p) * geo.wm * itemsize
                          + kh * ci_p * L * itemsize
                          + kw * co_p * L * 4 + 2 * co_p * L * 4
+                         + (geo.wm * geo.wm // 2 * itemsize
+                            + co_p * L * (itemsize + 2) if stride == 2
+                            else 0)
                          + 8 * 1024 * 1024))
+    in_specs = [
+        pl.BlockSpec((kw * co_p, kh * ci_p), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((co_p, 1), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [w_packed, bias]
+    if stride == 2:
+        in_specs.append(pl.BlockSpec((geo.wm, geo.wm // 2),
+                                     lambda b: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(_even_col_mat_np(geo.wm),
+                                    compute_dtype))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(x_hbm)
     out = pl.pallas_call(
         kern,
-        grid=(rows_pad // R,),
-        in_specs=[
-            pl.BlockSpec((kw * co_p, kh * ci_p), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((co_p, 1), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        grid=(nb,),
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec((R * co, w_out), lambda b: (b, 0),
                                 memory_space=pltpu.VMEM)
                    if out_layout == "warp" else
-                   pl.BlockSpec((co_p, L // stride), lambda b: (0, b),
+                   pl.BlockSpec((co_p, L // (stride * stride)),
+                                lambda b: (0, b),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((rows_pad * co, w_out),
                                         compute_dtype)
                    if out_layout == "warp" else
                    jax.ShapeDtypeStruct(
-                       (co_p, rows_pad * geo.wm // stride), compute_dtype)),
+                       (co_p, rows_pad * geo.wm // (stride * stride)),
+                       compute_dtype)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         **({"interpret": True} if interpret else {}),
-    )(w_packed, bias, x_hbm)
+    )(*operands)
 
     if out_layout == "warp":
         return out, geo
-    if stride == 2:
-        # rows already even-selected in-kernel; de-interleave the cols
-        assert (geo.row0 % 2 == 0 and geo.col0 % 2 == 0
-                and geo.hm % 2 == 0 and geo.wm % 256 == 0 and R % 2 == 0), geo
-        out = out[:co, :geo.lanes // 2]
-        out = out.reshape(co, geo.rows // 2, geo.wm // 2, 2)[..., 0]
-        return out.reshape(co, -1), geo.halved()
-    assert stride == 1, stride
-    return out[:co, :geo.lanes], geo
+    geo2 = geo.halved() if stride == 2 else geo
+    if co_p == co and rows_pad == geo.rows:
+        return out, geo2
+    return out[:co, :geo2.lanes], geo2

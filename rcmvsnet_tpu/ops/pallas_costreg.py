@@ -352,6 +352,13 @@ def costreg_lanes(variance: jnp.ndarray, folded, *,
     lane_dtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
                   else jnp.float32)
 
+    # in-layout Pallas resamples (ops/pallas_resample.py) — the XLA
+    # subsample_hw/stuff_hw_z equivalents re-tile the minor dim at a
+    # fraction of HBM bandwidth (~25 ms/forward at 1152×864)
+    from .pallas_resample import stuff_lanes, subsample_lanes
+    sub = functools.partial(subsample_lanes, interpret=interpret)
+    stuff = functools.partial(stuff_lanes, interpret=interpret)
+
     def single(var):
         if lanes_dims is not None:
             x = var
@@ -359,19 +366,19 @@ def costreg_lanes(variance: jnp.ndarray, folded, *,
             x = to_lanes(var, lays[0], _round_up(C, 8), lane_dtype)
         conv0 = cv(x, *folded["conv0"], lays[0])
         t = cv(conv0, *folded["conv1"], lays[0], z_stride=2)
-        t = subsample_hw(t, lays[0], lays[1])
+        t = sub(t, lays[0], lays[1])
         conv2 = cv(t, *folded["conv2"], lays[1])
         t = cv(conv2, *folded["conv3"], lays[1], z_stride=2)
-        t = subsample_hw(t, lays[1], lays[2])
+        t = sub(t, lays[1], lays[2])
         conv4 = cv(t, *folded["conv4"], lays[2])
         t = cv(conv4, *folded["conv5"], lays[2], z_stride=2)
-        t = subsample_hw(t, lays[2], lays[3])
+        t = sub(t, lays[2], lays[3])
         t = cv(t, *folded["conv6"], lays[3])
-        t = cv(stuff_hw_z(t, lays[3], lays[2]), *folded["conv7"],
+        t = cv(stuff(t, lays[3], lays[2]), *folded["conv7"],
                lays[2], skip=conv4)
-        t = cv(stuff_hw_z(t, lays[2], lays[1]), *folded["conv9"],
+        t = cv(stuff(t, lays[2], lays[1]), *folded["conv9"],
                lays[1], skip=conv2)
-        t = cv(stuff_hw_z(t, lays[1], lays[0]), *folded["conv11"],
+        t = cv(stuff(t, lays[1], lays[0]), *folded["conv11"],
                lays[0], skip=conv0)
         cost = cv(t, *folded["prob"], lays[0], relu=False,
                   out_dtype=jnp.float32)
