@@ -36,7 +36,7 @@ def main():
     rows, band, xband = 8, 16, (0, 0, 0)
     if on_tpu:
         from rcmvsnet_tpu.ops.pallas_warp2 import check_group_coverage
-        for r_try, b_try in [(4, 8), (8, 12), (8, 16), (8, 24)]:
+        for r_try, b_try in [(4, 6), (4, 8), (8, 12), (8, 16), (8, 24)]:
             ok = all(check_group_coverage(
                 batch["proj_matrices"][f"stage{s}"], batch["depth_values"],
                 H // sc, W // sc, r_try, b_try)

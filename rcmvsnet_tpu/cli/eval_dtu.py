@@ -102,7 +102,7 @@ def pick_fast_path(args, sample):
     from ..ops.pallas_warp2 import check_group_coverage
     H, W = sample["imgs"].shape[1:3]
     stages = [("stage1", 4), ("stage2", 2), ("stage3", 1)]
-    for rows, band in ((4, 8), (8, 12), (8, 16), (8, 24), (8, 32)):
+    for rows, band in ((4, 6), (4, 8), (8, 12), (8, 16), (8, 24), (8, 32)):
         ok = all((H // scale) % rows == 0 for scale in (4, 2, 1))
         for stage, scale in stages:
             ok = ok and check_group_coverage(

@@ -104,3 +104,25 @@ def test_geometry_ops():
     # margins stay exactly zero after the masked-bias head
     m = np.asarray(lane_mask(geo))[0]
     assert np.all(np.asarray(head)[:, m == 0] == 0)
+
+
+@pytest.mark.parametrize("rpb,stride,k,pad", [
+    (None, 1, 3, 1),   # auto divisor band → edge-DMA path
+    (None, 2, 5, 2),   # divisor band + in-kernel col de-interleave
+    (6, 1, 3, 1),      # non-divisor band → padded-x_hbm fallback
+    (6, 2, 5, 2),      # non-divisor band, stride 2
+])
+def test_band_paths_match_xla(rpb, stride, k, pad):
+    """Edge-DMA divisor bands vs the padded fallback: same numbers."""
+    rs = np.random.RandomState(3)
+    ci, co = 8, 16
+    x = jnp.asarray(rs.randn(2, 16, 20, ci).astype(np.float32))
+    kern = jnp.asarray(rs.randn(k, k, ci, co).astype(np.float32) * 0.1)
+    geo = make_geo(2, 16, 20, margin=4)
+    out, geo_out = conv2d_cm(cm_from_nhwc(x, geo), geo, kern,
+                             stride=stride, padding=pad,
+                             rows_per_band=rpb, interpret=True)
+    got = cm_to_nhwc(out, geo_out)
+    want = _xla_conv(x, kern, stride, pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
