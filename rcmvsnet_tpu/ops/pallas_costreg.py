@@ -187,6 +187,170 @@ def stuff_hw_z(y: jnp.ndarray, lay: LaneLayout,
                        (lay2.halo, lay2.lanesp - lay2.halo - lay2.lanes0)))
 
 
+def _pack_weights_k9(kernel: jnp.ndarray, ci_p: int, co_p: int,
+                     zb: int, zs: int) -> jnp.ndarray:
+    """[3,3,3,Ci,Co] → block-banded [zb·3·Co', np·3·Ci'], np = zs·(zb−1)+3.
+
+    Row (j, dx, co), col (p, dy, ci) = kernel[p − zs·j, dy, dx, ci, co]
+    when 0 ≤ p − zs·j ≤ 2, else 0 — the z-batched (dz,dy)-contraction
+    layout: one matmul computes zb output planes, K runs over the np
+    input planes × 3 dy-taps, M over (output plane, dx-tap, Co)."""
+    np_ = zs * (zb - 1) + 3
+    k = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0),
+                         (0, ci_p - kernel.shape[3]),
+                         (0, co_p - kernel.shape[4])))
+    # k[dz, dy, dx, ci, co] → per-dz block [dx, co, dy, ci]
+    kb = jnp.transpose(k, (0, 2, 4, 1, 3))
+    w6 = jnp.zeros((zb, 3, co_p, np_, 3, ci_p), kernel.dtype)
+    for j in range(zb):
+        for dz in range(3):
+            w6 = w6.at[j, :, :, zs * j + dz].set(kb[dz])
+    return w6.reshape(zb * 3 * co_p, np_ * 3 * ci_p)
+
+
+def _mxu_passes(m: int, k: int) -> int:
+    return -(-m // 128) * (-(-k // 128))
+
+
+def _k9_plan(ci_p: int, co_p: int, p_out: int, zs: int):
+    """Pick the z-batch factor zb for the K9 scheme, or None if the
+    baseline (dz-K / (dy,dx)-M) scheme needs no more MXU passes/plane.
+
+    Both kernels are MXU-pass-bound (measured: removing the tap-combine
+    epilogue changes runtime <3%), so passes/output-plane is the cost
+    model: baseline = ⌈9Co'/128⌉·⌈3Ci'/128⌉; K9(zb) =
+    ⌈zb·3Co'/128⌉·⌈np·3Ci'/128⌉ / zb with np = zs·(zb−1)+3."""
+    cur = _mxu_passes(9 * co_p, 3 * ci_p)
+    best = None
+    for zb in range(2, 9):
+        if p_out % zb:
+            continue
+        np_ = zs * (zb - 1) + 3
+        rate = _mxu_passes(zb * 3 * co_p, np_ * 3 * ci_p) / zb
+        if rate < cur and (best is None or rate < best[0]):
+            best = (rate, zb, np_)
+    return None if best is None else (best[1], best[2])
+
+
+def _conv_lanes_k9_kernel(w_ref, b_ref, m_ref, x_ref, *rest,
+                          co: int, zb: int, np_: int, wp: int, halo: int,
+                          L: int, relu: bool, has_skip: bool,
+                          compute_dtype):
+    """K9 grid step: zb output planes × one lane tile.
+
+    x_ref: [np, Ci', lh] input planes; w_ref: [zb·3·Co', np·3·Ci']
+    block-banded taps. X_cat stacks np·3 dy-shifted lane windows (the dy
+    shift is a ±wp lane offset — wp and halo are 128-multiples, so every
+    slice is lane-aligned); the epilogue combines only the 3 dx taps."""
+    skip_ref = rest[0] if has_skip else None
+    out_ref = rest[-1]          # rest[-2] is the aliased zero template
+    precision = (jax.lax.Precision.HIGHEST
+                 if compute_dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    width = L + 256
+    x = x_ref[...]
+    pieces = []
+    for p in range(np_):
+        xp_ = x[p]
+        for dy in range(3):
+            off = halo - 128 + (dy - 1) * wp
+            pieces.append(xp_[:, off:off + width])
+    x_cat = jnp.concatenate(pieces, axis=0).astype(compute_dtype)
+    y = jnp.dot(w_ref[:].astype(compute_dtype), x_cat,
+                preferred_element_type=jnp.float32,
+                precision=precision)             # [zb·3·Co', L+256]
+    for j in range(zb):
+        acc = None
+        for dx in range(3):
+            r = (j * 3 + dx) * co
+            piece = y[r:r + co, 127 + dx:127 + dx + L]
+            acc = piece if acc is None else acc + piece
+        acc = acc + b_ref[:, 0:1]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        acc = acc * m_ref[0]
+        if has_skip:
+            acc = acc + skip_ref[j].astype(jnp.float32)
+        out_ref[j] = acc.astype(out_ref.dtype)
+
+
+def _conv_lanes_k9(x, kernel, bias, lay, *, zb, np_, z_stride, relu,
+                   skip, out_dtype, compute_dtype, p_out, interpret):
+    """pallas_call wrapper for the K9 scheme (see _k9_plan)."""
+    P_in, ci_p, lanesp = x.shape
+    ci, co = kernel.shape[3], kernel.shape[4]
+    co_p = _round_up(co, 8)
+    H, L, n = lay.halo, lay.L, lay.n_tiles
+    # subdivide the lane tile to bound the f32 tap-partials Y
+    sub = 1
+    while (zb * 3 * co_p * (L // sub + 256) * 4 > 24 * 1024 * 1024
+           and L % (2 * sub) == 0 and (L // (2 * sub)) % 128 == 0):
+        sub *= 2
+    Lk = L // sub
+    lh = Lk + 2 * H
+    nb = p_out // zb
+    zs = z_stride
+
+    w_packed = _pack_weights_k9(kernel, ci_p, co_p, zb, zs).astype(
+        compute_dtype)
+    b2 = jnp.broadcast_to(
+        jnp.pad(bias.astype(jnp.float32), (0, co_p - co))[:, None],
+        (co_p, 128))
+    mask = jnp.asarray(_border_mask_np(lay))
+    template = jnp.zeros((p_out + 2, co_p, lanesp), out_dtype)
+
+    lane_off = lambda v: pl.multiple_of(v, 128)
+    out_spec = pl.BlockSpec(
+        (pl.Element(zb), pl.Element(co_p), pl.Element(Lk)),
+        lambda d, i: (zb * d + 1, 0, lane_off(H + i * Lk)),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((zb * 3 * co_p, np_ * 3 * ci_p), lambda d, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((co_p, 128), lambda d, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pl.Element(1), pl.Element(Lk)),
+                     lambda d, i: (0, lane_off(H + i * Lk)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pl.Element(np_), pl.Element(ci_p), pl.Element(lh)),
+                     lambda d, i: (zs * zb * d, 0, lane_off(i * Lk)),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [w_packed, b2, mask, x]
+    if skip is not None:
+        assert skip.shape == template.shape, (skip.shape, template.shape)
+        in_specs.append(pl.BlockSpec(
+            (pl.Element(zb), pl.Element(co_p), pl.Element(Lk)),
+            lambda d, i: (zb * d + 1, 0, lane_off(H + i * Lk)),
+            memory_space=pltpu.VMEM))
+        operands.append(skip)
+    in_specs.append(out_spec)
+    operands.append(template)
+
+    itemsize = np.dtype(compute_dtype).itemsize
+    vmem = int(min(100 * 1024 * 1024,
+                   2 * (np_ * ci_p * lh * itemsize
+                        + (2 if skip is not None else 1)
+                        * zb * co_p * Lk * 4)
+                   + zb * 3 * co_p * (Lk + 256) * 4
+                   + np_ * 3 * ci_p * (Lk + 256) * itemsize
+                   + 6 * 1024 * 1024))
+    kern = functools.partial(
+        _conv_lanes_k9_kernel, co=co_p, zb=zb, np_=np_, wp=lay.wp, halo=H,
+        L=Lk, relu=relu, has_skip=skip is not None,
+        compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(nb, n * sub),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((p_out + 2, co_p, lanesp), out_dtype),
+        input_output_aliases={len(operands) - 1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+        **({"interpret": True} if interpret else {}),
+    )(*operands)
+
+
 def _conv_lanes_kernel(w_ref, b_ref, m_ref, x0_ref, x1_ref, x2_ref, *rest,
                        co: int, wp: int, halo: int, L: int, relu: bool,
                        has_skip: bool, compute_dtype):
@@ -219,7 +383,7 @@ def _conv_lanes_kernel(w_ref, b_ref, m_ref, x0_ref, x1_ref, x2_ref, *rest,
 def conv_lanes(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                lay: LaneLayout, *, z_stride: int = 1, relu: bool = True,
                skip: jnp.ndarray | None = None, out_dtype=None,
-               compute_dtype=jnp.bfloat16,
+               compute_dtype=jnp.bfloat16, use_k9: bool = True,
                interpret: bool = False) -> jnp.ndarray:
     """One 3×3×3 conv layer on the lanes layout.
 
@@ -229,6 +393,12 @@ def conv_lanes(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     same-layout [P_out+2, Co', lanesp] tensor added AFTER ReLU (the
     decoder's `convN + deconv(x)` pattern). Returns [P_out+2, Co', lanesp]
     with zero z-borders/margins.
+
+    Two matmul schemes per layer, chosen by MXU pass count (_k9_plan):
+    the baseline Y[9·Co', L] = W[9·Co', 3·Ci'] X (dz on K, (dy,dx) on M)
+    and the z-batched K9 layout ((plane,dy) on K, (z-batch,dx,Co) on M) —
+    the latter wins on the small-channel layers (conv1/conv2/prob) where
+    a 9·Co' × 3·Ci' matmul leaves most of the 128×128 MXU pass idle.
     """
     P_in, ci_p, lanesp = x.shape
     assert lanesp == lay.lanesp, (lanesp, lay)
@@ -239,6 +409,12 @@ def conv_lanes(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     else:
         p_out = (P_in - 3) // 2 + 1
     out_dtype = out_dtype or x.dtype
+    plan = _k9_plan(ci_p, co_p, p_out, z_stride) if use_k9 else None
+    if plan is not None:
+        return _conv_lanes_k9(
+            x, kernel, bias, lay, zb=plan[0], np_=plan[1],
+            z_stride=z_stride, relu=relu, skip=skip, out_dtype=out_dtype,
+            compute_dtype=compute_dtype, p_out=p_out, interpret=interpret)
     H, L, n = lay.halo, lay.L, lay.n_tiles
     lh = L + 2 * H
 
