@@ -31,28 +31,36 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     batch = make_synthetic_batch(B=1, V=VIEWS, H=H, W=W, ndepth=NDEPTH, seed=0)
 
-    # smallest (rows, band) the rig's geometry satisfies — FLOPs scale
-    # with the band, so try the tight configs first
+    # per-stage (rows, band) from a cheapest-first ladder: the hat
+    # matmul's cost scales with the actual band (measured — no
+    # 128-sublane M-tile padding penalty), so smaller bands win
+    # outright; per-stage coverage picks the first satisfied config
+    # (mirrors cli/eval_dtu.WARP_LADDER)
+    LADDER = [(2, 4), (2, 5), (4, 6), (2, 6), (4, 8), (2, 8), (8, 12),
+              (8, 16), (8, 24)]
     rows, band, xband = 8, 16, (0, 0, 0)
     if on_tpu:
         from rcmvsnet_tpu.ops.pallas_warp2 import check_group_coverage
-        for r_try, b_try in [(4, 6), (4, 8), (8, 12), (8, 16), (8, 24)]:
-            ok = all(check_group_coverage(
-                batch["proj_matrices"][f"stage{s}"], batch["depth_values"],
-                H // sc, W // sc, r_try, b_try)
-                for s, sc in [(1, 4), (2, 2), (3, 1)])
-            if ok:
-                rows, band = r_try, b_try
-                break
-        # per-stage: smallest 128-multiple x-band whose coverage holds
-        # (stage widths differ 4x, so so does the minimal covering band)
-        xband = tuple(
-            next((xb for xb in (128, 256, 384, 512, 640)
-                  if xb < W // sc and check_group_coverage(
-                      batch["proj_matrices"][f"stage{s}"],
-                      batch["depth_values"], H // sc, W // sc,
-                      rows, band, x_band=xb)), 0)
-            for s, sc in [(1, 4), (2, 2), (3, 1)])
+        rows, band, xband = [], [], []
+        for s, sc in [(1, 4), (2, 2), (3, 1)]:
+            h, w = H // sc, W // sc
+            projs = batch["proj_matrices"][f"stage{s}"]
+            for r_try, b_try in LADDER:
+                if h % r_try == 0 and check_group_coverage(
+                        projs, batch["depth_values"], h, w, r_try, b_try):
+                    break
+            else:
+                r_try, b_try = 8, 24
+            rows.append(r_try)
+            band.append(b_try)
+            # smallest 128-multiple x-band whose coverage holds (stage
+            # widths differ 4x, so so does the minimal covering band)
+            xband.append(next(
+                (xb for xb in (128, 256, 384, 512, 640)
+                 if xb < w and check_group_coverage(
+                     projs, batch["depth_values"], h, w, r_try, b_try,
+                     x_band=xb)), 0))
+        rows, band, xband = tuple(rows), tuple(band), tuple(xband)
         print(f"warp config: rows={rows} band={band} xband={xband}",
               file=__import__("sys").stderr)
 
@@ -79,9 +87,12 @@ def main():
     use_packed = on_tpu and packed_shapes_ok(H, W)
     # hand the warp kernel its source layout straight from the feature
     # heads when every stage takes the fully fused path
+    rows_of = lambda i: rows[i] if isinstance(rows, tuple) else rows
     warp_layout = use_packed and all(
-        (H // sc) % rows == 0 and (H // sc) % 8 == 0 and (W // sc) % 8 == 0
-        for sc in (4, 2, 1)) and all(d % 8 == 0 for d in (48, 32, 8))
+        (H // sc) % rows_of(i) == 0 and (H // sc) % 8 == 0
+        and (W // sc) % 8 == 0
+        for i, sc in enumerate((4, 2, 1))) and all(
+        d % 8 == 0 for d in (48, 32, 8))
 
     @jax.jit
     def forward(variables, imgs, projs, depth_values):

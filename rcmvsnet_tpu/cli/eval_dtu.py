@@ -72,8 +72,8 @@ def _save_rainbow(path, arr, vmin, vmax):
     cv2.imwrite(str(path), img)
 
 
-def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24,
-                pallas_rows: int = 8, pallas_xband=0):
+def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band=24,
+                pallas_rows=8, pallas_xband=0):
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
     pallas_costreg = (not getattr(args, "no_pallas", False)
                       and jax.default_backend() == "tpu")
@@ -91,39 +91,50 @@ def build_model(args, pallas_warp_max_bytes: int = 0, pallas_band: int = 24,
     return cascade
 
 
+# (rows-per-step, band) candidate ladder, cheapest first: the hat
+# matmul's cost scales with the actual band (measured — a 64-sublane M
+# does NOT pay for a full 128 MXU tile), so smaller bands win outright;
+# among equal bands, larger row groups mean fewer grid steps but a wider
+# y-spread to cover, so both orderings appear and per-scan coverage
+# (check_group_coverage) picks the first satisfied config per stage.
+WARP_LADDER = [(2, 4), (2, 5), (4, 6), (2, 6), (4, 8), (2, 8), (8, 12),
+               (8, 16), (8, 24), (8, 32)]
+
+
 def pick_fast_path(args, sample):
     """Enable the fused Pallas warp when on TPU, not disabled, and the
-    scan's geometry satisfies the kernel's band-coverage precondition with
-    the smallest (fastest) (rows-per-step, band) config. Returns
-    (pallas_warp_max_bytes, band, rows, xband). The warp FLOPs scale with
-    the band, so the tight configs are tried first."""
+    scan's geometry satisfies the kernel's band-coverage precondition.
+    Returns (pallas_warp_max_bytes, band, rows, xband) with per-stage
+    tuples picked from WARP_LADDERS."""
     if getattr(args, "no_pallas", False) or jax.default_backend() != "tpu":
         return 0, 24, 8, 0
     from ..ops.pallas_warp2 import check_group_coverage
     H, W = sample["imgs"].shape[1:3]
     stages = [("stage1", 4), ("stage2", 2), ("stage3", 1)]
-    for rows, band in ((4, 6), (4, 8), (8, 12), (8, 16), (8, 24), (8, 32)):
-        ok = all((H // scale) % rows == 0 for scale in (4, 2, 1))
-        for stage, scale in stages:
-            ok = ok and check_group_coverage(
-                sample["proj_matrices"][stage][None],
-                sample["depth_values"][None], H // scale, W // scale,
-                rows, band)
-        if ok:
-            # per-stage: smallest 128-multiple x-band whose coverage
-            # holds (stage widths differ 4x, so so does the band)
-            xband = tuple(
-                next((xb for xb in (128, 256, 384, 512, 640)
-                      if xb < W // sc and check_group_coverage(
-                          sample["proj_matrices"][stage][None],
-                          sample["depth_values"][None], H // sc, W // sc,
-                          rows, band, x_band=xb)), 0)
-                for stage, sc in stages)
-            print(f"pallas fast path: ON (rows {rows}, band {band}, "
-                  f"xband {xband})")
-            return 17 * 1024 * 1024, band, rows, xband
-    print("pallas fast path: off (band coverage)")
-    return 0, 24, 8, (0, 0, 0)
+    rows, band, xband = [], [], []
+    for stage, sc in stages:
+        h, w = H // sc, W // sc
+        projs = sample["proj_matrices"][stage][None]
+        dv = sample["depth_values"][None]
+        for r_try, b_try in WARP_LADDER:
+            if h % r_try == 0 and check_group_coverage(
+                    projs, dv, h, w, r_try, b_try):
+                break
+        else:
+            print(f"pallas fast path: off ({stage} band coverage)")
+            return 0, 24, 8, (0, 0, 0)
+        rows.append(r_try)
+        band.append(b_try)
+        # smallest 128-multiple x-band whose coverage holds (stage
+        # widths differ 4x, so so does the band)
+        xband.append(next(
+            (xb for xb in (128, 256, 384, 512, 640)
+             if xb < w and check_group_coverage(
+                 projs, dv, h, w, r_try, b_try, x_band=xb)), 0))
+    rows, band, xband = tuple(rows), tuple(band), tuple(xband)
+    print(f"pallas fast path: ON (rows {rows}, band {band}, "
+          f"xband {xband})")
+    return 17 * 1024 * 1024, band, rows, xband
 
 
 def build_forward(cascade, args, sample):
@@ -144,16 +155,17 @@ def build_forward(cascade, args, sample):
     # (mirrors the _DepthStage fused gate)
     ndepths = tuple(int(x) for x in args.ndepths.split(",") if x)
     rows = cascade.pallas_warp_rows
+    rows_of = lambda i: rows[i] if isinstance(rows, (tuple, list)) else rows
     warp_layout = (use_packed and cascade.pallas_costreg
                    and cascade.pallas_warp_max_bytes > 0
                    and all(d % 8 == 0 for d in ndepths)
-                   and all((Hs // sc) % rows == 0
+                   and all((Hs // sc) % rows_of(i) == 0
                            and (Hs // sc) % 8 == 0
                            and (Ws // sc) % 8 == 0
                            and (Hs // sc) * (Ws // sc)
                            * cascade.base_channels * sc * 2
                            <= cascade.pallas_warp_max_bytes
-                           for sc in (4, 2, 1)))
+                           for i, sc in enumerate((4, 2, 1))))
 
     def _fwd(v, imgs, projs, dv):
         features = features_warp = None

@@ -18,8 +18,11 @@ class BackboneConfig:
     # eval fast path: max bf16 source-feature bytes held in VMEM by the
     # Pallas warp kernel; 0 disables (CPU/tests). 17 MB covers all 3 DTU stages.
     pallas_warp_max_bytes: int = 0
-    pallas_warp_band: int = 24
-    pallas_warp_rows: int = 8
+    # y-band / row-group size: int = all stages, 3-tuple = per stage
+    # (stage 1's C=32 crosses a 128-sublane MXU tile at band > 4, so a
+    # tight stage-1 band halves its hat-matmul passes; see models/cascade)
+    pallas_warp_band: int | Tuple[int, ...] = 24
+    pallas_warp_rows: int | Tuple[int, ...] = 8
     # x-band columns per warp window: 0 = dense, int = all stages,
     # 3-tuple = per stage (probed per scan by the drivers)
     pallas_warp_xband: int | Tuple[int, ...] = 0

@@ -200,12 +200,17 @@ class CascadeMVSNet(nn.Module):
     pallas_warp_max_bytes: int = 0
     # y-band rows per row group; smaller = faster, must satisfy the
     # coverage precondition (check_band_coverage / check_group_coverage
-    # picks per dataset)
-    pallas_warp_band: int = 24
+    # picks per dataset). An int applies to every stage; a 3-sequence sets
+    # it per stage — the MXU pass count of the hat matmul goes with
+    # ceil(band·C/128), so only stages where the band crosses a 128-sublane
+    # boundary (stage 1: C=32, band 4 vs 6) gain from a tighter band,
+    # while the others only pay the extra grid steps of a smaller row
+    # group.
+    pallas_warp_band: int | Sequence[int] = 24
     # output rows per warp-kernel grid step (the row-group size the band
-    # must cover); 4 halves the hat-matmul FLOPs vs 8 when the geometry
-    # allows band=8
-    pallas_warp_rows: int = 8
+    # must cover); int or per-stage 3-sequence, paired with
+    # pallas_warp_band
+    pallas_warp_rows: int | Sequence[int] = 8
     # static x-band (source columns per 128-aligned window) for the warp's
     # hat contraction; 0 = dense over the full row; an int applies to every
     # stage, a 3-sequence sets it per stage (widths differ 4x across the
@@ -315,14 +320,13 @@ class CascadeMVSNet(nn.Module):
 
             src_bytes = h * w * Cs * 2  # bf16 VMEM residency requirement
             use_pallas = (0 < src_bytes <= self.pallas_warp_max_bytes)
-            xb_cfg = self.pallas_warp_xband
-            xb_stage = (xb_cfg[stage_idx]
-                        if isinstance(xb_cfg, (tuple, list)) else xb_cfg)
+            per_stage = lambda v: (v[stage_idx]
+                                   if isinstance(v, (tuple, list)) else v)
             stage_out = _DepthStage(
                 self.cr_base_chs[stage_idx], use_pallas_warp=use_pallas,
-                pallas_band=self.pallas_warp_band,
-                pallas_warp_rows=self.pallas_warp_rows,
-                pallas_warp_xband=xb_stage,
+                pallas_band=per_stage(self.pallas_warp_band),
+                pallas_warp_rows=per_stage(self.pallas_warp_rows),
+                pallas_warp_xband=per_stage(self.pallas_warp_xband),
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail,
                 name=f"stage{stage_idx + 1}")(
