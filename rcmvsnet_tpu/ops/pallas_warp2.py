@@ -86,8 +86,11 @@ def _coords_inkernel(proj_ref, depth, v: int, h: int, w: int, wp: int,
     Z = rz * depth + m(2, 3)
     Z = jnp.where(jnp.abs(Z) < 1e-6,
                   jnp.where(Z < 0, -1e-6, 1e-6), Z)
-    px = jnp.clip(X / Z, -2.0, w + 1.0)
-    py = jnp.clip(Y / Z, -2.0, h + 1.0)
+    # one reciprocal + two muls instead of two per-lane divides (VPU
+    # division is the single most expensive op in the coords path)
+    zinv = 1.0 / Z
+    px = jnp.clip(X * zinv, -2.0, w + 1.0)
+    py = jnp.clip(Y * zinv, -2.0, h + 1.0)
     return px, py
 
 
@@ -119,7 +122,8 @@ def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
     banded_x = x_band is not None and x_band < w
-    sub_j = jax.lax.broadcasted_iota(jnp.int32, (band, lanes), 0)
+    sub_jf = jax.lax.broadcasted_iota(
+        jnp.int32, (band, lanes), 0).astype(jnp.float32)
     if banded_x:
         n_xt = wp // x_tile
         kx_rel = jax.lax.broadcasted_iota(
@@ -158,11 +162,13 @@ def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
         px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0)
         ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
                         0, h - band)
-        jy = (sub_j + ymin).astype(jnp.float32)
+        # offset the [1, lanes] coords by ymin instead of the [band,
+        # lanes] iota: one small op replaces a full-size add
+        py_rel = py - ymin.astype(jnp.float32)
         # hat_y stays [band, lanes]: the per-row weight folds into the
         # band reduction as a [1, lanes] broadcast multiply — C× fewer
         # VPU ops than materializing it at [band·C, lanes]
-        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py - jy))  # [band, lanes]
+        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_rel - sub_jf))
         if not banded_x:
             rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C, band * C), :]
             rows = rows.astype(compute_dtype)             # [band·C, w]
@@ -193,9 +199,11 @@ def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
                 rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C, band * C),
                                pl.ds(xmin, x_band)]
                 rows = rows.astype(compute_dtype)        # [band·C, x_band]
-                hat_x = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(pxt - (kx_rel
-                                              + xmin.astype(jnp.float32))))
+                # offset the [1, N] coords by xmin instead of the
+                # [x_band, N] iota: drops a full-size VPU pass from
+                # every hat build
+                pxt_rel = pxt - xmin.astype(jnp.float32)
+                hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(pxt_rel - kx_rel))
                 out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
                                 preferred_element_type=jnp.float32,
                                 precision=precision)     # [band·C, R·xt]
