@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--no_filter", action="store_true", help="depth only")
     p.add_argument("--no_pallas", action="store_true",
                    help="disable the Pallas warp fast path")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard inference over this many devices (data "
+                        "parallel over reference views via shard_map; "
+                        "default: all local devices)")
     p.add_argument("--gt_dir", default=None,
                    help="DTU SampleSet/MVS Data dir (Points/stl + ObsMask); "
                         "when given, phase 3 runs the ported acc/comp "
@@ -105,7 +109,7 @@ def pick_fast_path(args, sample):
     """Enable the fused Pallas warp when on TPU, not disabled, and the
     scan's geometry satisfies the kernel's band-coverage precondition.
     Returns (pallas_warp_max_bytes, band, rows, xband) with per-stage
-    tuples picked from WARP_LADDERS."""
+    tuples picked from WARP_LADDER."""
     if getattr(args, "no_pallas", False) or jax.default_backend() != "tpu":
         return 0, 24, 8, 0
     from ..ops.pallas_warp2 import check_group_coverage
@@ -137,7 +141,7 @@ def pick_fast_path(args, sample):
     return 17 * 1024 * 1024, band, rows, xband
 
 
-def build_forward(cascade, args, sample):
+def build_forward(cascade, args, sample, n_shards: int = 1):
     """jitted eval forward with the packed-FeatureNet fast path.
 
     On TPU (and unless --no_pallas) the FeatureNet runs through the
@@ -182,7 +186,22 @@ def build_forward(cascade, args, sample):
         return cascade.apply(v, imgs, projs, dv, train=False,
                              features=features,
                              features_warp=features_warp)
-    return jax.jit(_fwd)
+
+    if n_shards <= 1:
+        return jax.jit(_fwd)
+    # data-parallel serving: one reference view per device via shard_map —
+    # each device runs the SAME fully fused B=1 Pallas path it runs
+    # single-chip (the per-device body sees the local batch element), so
+    # multi-chip eval is a pure throughput multiplier with no collectives.
+    # Replaces the reference's nn.DataParallel inference
+    # (/root/reference/eval_rcmvsnet_dtu.py:189).
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("batch",))
+    sharded = shard_map(_fwd, mesh=mesh,
+                        in_specs=(P(), P("batch"), P("batch"), P("batch")),
+                        out_specs=P("batch"))
+    return jax.jit(sharded)
 
 
 def load_variables(cascade, ckpt_path, sample):
@@ -214,6 +233,7 @@ def save_depth(args, testlist):
     cascade = None
     variables = None
     forward = None
+    S = args.n_devices or jax.local_device_count()
 
     from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
     for scan in testlist:
@@ -223,47 +243,66 @@ def save_depth(args, testlist):
                             max_h=args.max_h, max_w=args.max_w)
         if cascade is None:
             cascade = build_model(args, *pick_fast_path(args, ds[0]))
-            forward = build_forward(cascade, args, ds[0])
+            forward = build_forward(cascade, args, ds[0], n_shards=S)
             variables = load_variables(cascade, args.loadckpt, ds[0])
-        for i in range(len(ds)):
-            sample = ds[i]
+        for i0 in range(0, len(ds), S):
+            # one reference view per device; the tail chunk repeats its
+            # last view to fill the mesh (padded outputs are discarded)
+            idx = [min(i0 + j, len(ds) - 1) for j in range(S)]
+            samples = [ds[i] for i in idx]
             t0 = time.time()
+            stack = lambda key: jnp.asarray(
+                np.stack([np.asarray(s[key]) for s in samples]))
             outputs = forward(
-                variables, jnp.asarray(sample["imgs"])[None],
-                jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
-                                       sample["proj_matrices"]),
-                jnp.asarray(sample["depth_values"])[None])
-            depth = np.asarray(outputs["depth"][0])
-            conf = np.asarray(outputs["photometric_confidence"][0])
+                variables, stack("imgs"),
+                {k: jnp.asarray(
+                    np.stack([np.asarray(s["proj_matrices"][k])
+                              for s in samples]))
+                 for k in samples[0]["proj_matrices"]},
+                stack("depth_values"))
+            depths = np.asarray(outputs["depth"])
+            confs = np.asarray(outputs["photometric_confidence"])
             dt = time.time() - t0
-            print(f"{scan} view {i}/{len(ds)} {dt:.3f}s res {depth.shape}")
+            n_real = min(S, len(ds) - i0)
+            print(f"{scan} view {i0}+{n_real}/{len(ds)} {dt:.3f}s "
+                  f"res {depths.shape[1:]}"
+                  + (f" ({S} shards)" if S > 1 else ""))
+            for j in range(n_real):
+                _write_view(args, outdir, samples[j], depths[j], confs[j],
+                            IMAGENET_MEAN, IMAGENET_STD)
 
-            fn = sample["filename"]
-            for sub in ["depth_est", "confidence", "cams", "images",
-                        "depth_map", "confidence_map"]:
-                (outdir / fn.format(sub, "")).parent.mkdir(
-                    parents=True, exist_ok=True)
-            save_pfm(outdir / fn.format("depth_est", ".pfm"), depth)
-            save_pfm(outdir / fn.format("confidence", ".pfm"), conf)
-            # rainbow visualizations (reference: plt.imsave cmap='rainbow',
-            # eval_rcmvsnet_dtu.py:242-248)
-            import cv2
-            dvals = sample["depth_values"]
-            _save_rainbow(outdir / fn.format("depth_map", ".jpg"), depth,
-                          dvals[0], dvals[-1])
-            _save_rainbow(outdir / fn.format("confidence_map", ".jpg"),
-                          conf, conf.min(), conf.max())
-            cam = sample["proj_matrices"]["stage3"][0]  # ref view, full-res K
-            dvals = sample["depth_values"]
-            write_cam_file(outdir / fn.format("cams", "_cam.txt"),
-                           cam[0], cam[1, :3, :3],
-                           [dvals[0], dvals[1] - dvals[0], len(dvals),
-                            dvals[-1]])
-            import cv2
-            img = sample["imgs"][0] * IMAGENET_STD + IMAGENET_MEAN
-            cv2.imwrite(str(outdir / fn.format("images", ".jpg")),
-                        cv2.cvtColor((img.clip(0, 1) * 255).astype(np.uint8),
-                                     cv2.COLOR_RGB2BGR))
+
+def _write_view(args, outdir, sample, depth, conf, IMAGENET_MEAN,
+                IMAGENET_STD):
+    """Write one reference view's outputs (pfm/cams/images/rainbow
+    visualizations), matching /root/reference/eval_rcmvsnet_dtu.py:214-253's
+    output tree."""
+    fn = sample["filename"]
+    for sub in ["depth_est", "confidence", "cams", "images",
+                "depth_map", "confidence_map"]:
+        (outdir / fn.format(sub, "")).parent.mkdir(
+            parents=True, exist_ok=True)
+    save_pfm(outdir / fn.format("depth_est", ".pfm"), depth)
+    save_pfm(outdir / fn.format("confidence", ".pfm"), conf)
+    # rainbow visualizations (reference: plt.imsave cmap='rainbow',
+    # eval_rcmvsnet_dtu.py:242-248)
+    import cv2
+    dvals = sample["depth_values"]
+    _save_rainbow(outdir / fn.format("depth_map", ".jpg"), depth,
+                  dvals[0], dvals[-1])
+    _save_rainbow(outdir / fn.format("confidence_map", ".jpg"),
+                  conf, conf.min(), conf.max())
+    cam = sample["proj_matrices"]["stage3"][0]  # ref view, full-res K
+    dvals = sample["depth_values"]
+    write_cam_file(outdir / fn.format("cams", "_cam.txt"),
+                   cam[0], cam[1, :3, :3],
+                   [dvals[0], dvals[1] - dvals[0], len(dvals),
+                    dvals[-1]])
+    import cv2
+    img = sample["imgs"][0] * IMAGENET_STD + IMAGENET_MEAN
+    cv2.imwrite(str(outdir / fn.format("images", ".jpg")),
+                cv2.cvtColor((img.clip(0, 1) * 255).astype(np.uint8),
+                             cv2.COLOR_RGB2BGR))
 
 
 def fuse_one(args_tuple):

@@ -80,7 +80,35 @@ def parse_args(argv=None):
     p.add_argument("--interval_scale", type=float, default=1.06)
     p.add_argument("--no_test", action="store_true")
     p.add_argument("--no_filter", action="store_true")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="disable the Pallas warp fast path")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard inference over this many devices (data "
+                        "parallel over reference views via shard_map; "
+                        "default: all local devices)")
     return p.parse_args(argv)
+
+
+def _write_tanks_view(outdir, sample, depth, conf, IMAGENET_MEAN,
+                      IMAGENET_STD, cv2):
+    """Write one reference view's outputs (pfm/cams/images), matching
+    /root/reference/eval_rcmvsnet_tanks.py's per-view output tree."""
+    fn = sample["filename"]
+    for sub in ["depth_est", "confidence", "cams", "images"]:
+        (outdir / fn.format(sub, "")).parent.mkdir(
+            parents=True, exist_ok=True)
+    save_pfm(outdir / fn.format("depth_est", ".pfm"), depth)
+    save_pfm(outdir / fn.format("confidence", ".pfm"), conf)
+    cam = sample["proj_matrices"]["stage3"][0]
+    dvals = sample["depth_values"]
+    write_cam_file(outdir / fn.format("cams", "_cam.txt"),
+                   cam[0], cam[1, :3, :3],
+                   [dvals[0], dvals[1] - dvals[0], len(dvals),
+                    dvals[-1]])
+    img = sample["imgs"][0] * IMAGENET_STD + IMAGENET_MEAN
+    cv2.imwrite(str(outdir / fn.format("images", ".jpg")),
+                cv2.cvtColor((img.clip(0, 1) * 255).astype(np.uint8),
+                             cv2.COLOR_RGB2BGR))
 
 
 def main(argv=None):
@@ -93,38 +121,34 @@ def main(argv=None):
     if not args.no_test:
         ds = TanksDataset(args.testpath, args.split, nviews=args.num_view,
                           img_wh=img_wh, ndepths=args.numdepth)
+        S = args.n_devices or jax.local_device_count()
         cascade = build_model(args, *pick_fast_path(args, ds[0]))
-        forward = build_forward(cascade, args, ds[0])
+        forward = build_forward(cascade, args, ds[0], n_shards=S)
         variables = load_variables(cascade, args.loadckpt, ds[0])
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
         import cv2
-        for i in range(len(ds)):
-            sample = ds[i]
+        for i0 in range(0, len(ds), S):
+            # one reference view per device (tail repeats the last view)
+            idx = [min(i0 + j, len(ds) - 1) for j in range(S)]
+            samples = [ds[i] for i in idx]
             t0 = time.time()
             outputs = forward(
-                variables, jnp.asarray(sample["imgs"])[None],
-                jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
-                                       sample["proj_matrices"]),
-                jnp.asarray(sample["depth_values"])[None])
-            depth = np.asarray(outputs["depth"][0])
-            conf = np.asarray(outputs["photometric_confidence"][0])
-            print(f"{sample['filename']} {time.time()-t0:.3f}s")
-            fn = sample["filename"]
-            for sub in ["depth_est", "confidence", "cams", "images"]:
-                (outdir / fn.format(sub, "")).parent.mkdir(
-                    parents=True, exist_ok=True)
-            save_pfm(outdir / fn.format("depth_est", ".pfm"), depth)
-            save_pfm(outdir / fn.format("confidence", ".pfm"), conf)
-            cam = sample["proj_matrices"]["stage3"][0]
-            dvals = sample["depth_values"]
-            write_cam_file(outdir / fn.format("cams", "_cam.txt"),
-                           cam[0], cam[1, :3, :3],
-                           [dvals[0], dvals[1] - dvals[0], len(dvals),
-                            dvals[-1]])
-            img = sample["imgs"][0] * IMAGENET_STD + IMAGENET_MEAN
-            cv2.imwrite(str(outdir / fn.format("images", ".jpg")),
-                        cv2.cvtColor((img.clip(0, 1) * 255).astype(np.uint8),
-                                     cv2.COLOR_RGB2BGR))
+                variables,
+                jnp.asarray(np.stack([s["imgs"] for s in samples])),
+                {k: jnp.asarray(np.stack([s["proj_matrices"][k]
+                                          for s in samples]))
+                 for k in samples[0]["proj_matrices"]},
+                jnp.asarray(np.stack([s["depth_values"]
+                                      for s in samples])))
+            depths = np.asarray(outputs["depth"])
+            confs = np.asarray(outputs["photometric_confidence"])
+            dt = time.time() - t0
+            n_real = min(S, len(ds) - i0)
+            print(f"{samples[0]['filename']} +{n_real} {dt:.3f}s"
+                  + (f" ({S} shards)" if S > 1 else ""))
+            for j, sample in enumerate(samples[:n_real]):
+                _write_tanks_view(outdir, sample, depths[j], confs[j],
+                                  IMAGENET_MEAN, IMAGENET_STD, cv2)
 
     if not args.no_filter:
         for scan in scans:
