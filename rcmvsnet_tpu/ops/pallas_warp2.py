@@ -10,19 +10,24 @@ regularizer. This kernel does the whole thing in one pass:
   * ALL source feature maps (plus the reference view, identity-warped so
     no separate channel-major transpose of it is needed) stay RESIDENT in
     VMEM as one stacked [V·h·C, w] buffer;
-  * grid = (depth planes, row groups of R): per step, each view
-    contributes ONE hat-matmul
-        band[band·C, w] @ hat_x[w, R·wp]
+  * grid = ONE STEP PER OUTPUT PLANE (planes mode; volume mode keeps
+    the (depth, row group) grid): the R-row groups run in an in-kernel
+    fori_loop writing into a whole-plane VMEM block — at small row
+    groups the per-grid-step overhead dominated (up to ~15k steps per
+    frame), and the per-plane grid amortizes it n_rg-fold, with the
+    halo planes and lane margins zeroed in-kernel (no donated zero
+    template). Per group and view, ONE hat-matmul
+        band[band·C, x_band] @ hat_x[x_band, R·x_tile]
     (hat(x−k) = max(0, 1−|x−k|) reproduces torch's zeros-padded bilinear
     exactly), a VPU hat_y weighting, and a band reduction by static
     sublane-slice adds;
   * Σx and Σx² accumulate in f32 registers across the static view loop —
     warped volumes NEVER touch HBM — and the variance
     E[x²]−E[x]² is written ONCE, directly into the cost regularizer's
-    128-aligned lane layout (ops/pallas_costreg.LaneLayout) via Element
-    blocks: plane d+1, lane offset halo + (1 + r·R)·wp. Borders and
-    margins stay zero through an aliased zero template, and padding-lane
-    contributions are killed by the real-pixel row mask;
+    128-aligned lane layout (ops/pallas_costreg.LaneLayout) at lane
+    offset halo + (1 + g·R)·wp of the plane block; padding-lane
+    contributions are killed by the real-pixel row mask (volume mode
+    still uses per-group Element blocks + an aliased zero template);
   * sample coordinates are computed IN-REGISTER per grid step from the
     SMEM-resident relative projections (_coords_inkernel) — the
     precomputed px/py fields used through round 2 moved ~2·V·D·h·wp f32
@@ -117,6 +122,25 @@ def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
     w_src − x_band keeps the alignment at any image width; padding
     columns read as zeros, which is exactly torch's zeros-padding
     bilinear semantics for taps at kx ≥ w."""
+    del planes_mode, dv_b  # volume mode only (planes take the per-plane kernel)
+    depth = dv_a[0, 0]                                    # [1, lanes]
+    row0 = pl.program_id(1) * R
+    var = _group_var(proj_ref, src_ref, depth, row0, mask_ref[0],
+                     views=views, band=band, C=C, h=h, w=w, w_src=w_src,
+                     src_hm=src_hm, src_row0=src_row0, R=R, wp=wp,
+                     x_band=x_band, x_tile=x_tile, x_align=x_align,
+                     interpret=interpret, compute_dtype=compute_dtype)
+    out_ref[0] = var.astype(out_ref.dtype)
+
+
+def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
+               band: int, C: int, h: int, w: int, w_src: int, src_hm: int,
+               src_row0: int, R: int, wp: int, x_band: int | None,
+               x_tile: int, x_align: int, interpret: bool, compute_dtype):
+    """Multi-view variance [C, R·wp] for one (depth, R-row group):
+    the shared body of the per-group and per-plane kernels. `depth` is
+    the [1, R·wp] per-lane hypothesis, `row0` the (traced) first output
+    row, `mask` the [1, R·wp] real-pixel-lane mask."""
     lanes = R * wp
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
@@ -131,16 +155,6 @@ def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
     else:
         kx = jax.lax.broadcasted_iota(jnp.int32, (w_src, lanes), 0).astype(
             jnp.float32)
-
-    if planes_mode:
-        # per-pixel hypotheses are linear in the plane index:
-        # dv(d) = lo + d·step — computed in-register from two [h, w]
-        # maps instead of streaming a [D, h, wp] volume from HBM
-        depth = (dv_a[0]
-                 + pl.program_id(0).astype(jnp.float32) * dv_b[0])
-    else:
-        depth = dv_a[0, 0]                                # [1, lanes]
-    row0 = pl.program_id(1) * R
     roll = jnp.roll if interpret else pltpu.roll
 
     # view 0 is the reference view: its warp is the identity, so its
@@ -220,8 +234,60 @@ def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
         acc_s = acc_s + con
         acc_q = acc_q + con * con
     mean = acc_s / views
-    var = (acc_q / views - mean * mean) * mask_ref[0]
-    out_ref[0] = var.astype(out_ref.dtype)
+    return (acc_q / views - mean * mean) * mask
+
+
+def _warp_var_plane_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
+                           out_ref, *, views: int, band: int, C: int,
+                           h: int, w: int, w_src: int, src_hm: int,
+                           src_row0: int, R: int, wp: int,
+                           x_band: int | None, x_tile: int, x_align: int,
+                           D: int, halo: int, lanesp: int, n_rg: int,
+                           interpret: bool, compute_dtype):
+    """One step per OUTPUT PLANE (grid = (D+2,)): the row groups run in
+    an in-kernel fori_loop writing into a whole-plane VMEM block.
+
+    The per-(plane, group) grid paid a fixed per-step cost (block DMA
+    bookkeeping, prologue/epilogue) on up to ~15k steps per frame at
+    small row groups — ablation showed that floor dominating the warp.
+    This kernel keeps ~D steps per stage, amortizing the overhead
+    n_rg-fold, and writes the halo planes and lane margins itself, so
+    the donated zero template (and its full-volume zeros write per
+    frame) disappears.
+
+    dv_a/dv_b: [n_rg, R·wp] per-group (lo, step) rows; out block:
+    [1, C, lanesp] (the whole plane p = program_id)."""
+    p = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(p == 0, p == D + 1))
+    def _halo_plane():
+        out_ref[0] = jnp.zeros((C, lanesp), out_ref.dtype)
+
+    @pl.when(jnp.logical_and(p > 0, p < D + 1))
+    def _plane():
+        didx = (p - 1).astype(jnp.float32)
+        # lane margins: leading halo + border row, trailing border row +
+        # tile pad + halo (the interior row groups are written below)
+        head = halo + wp
+        tail0 = halo + (1 + h) * wp
+        out_ref[0, :, :head] = jnp.zeros((C, head), out_ref.dtype)
+        out_ref[0, :, tail0:] = jnp.zeros((C, lanesp - tail0),
+                                          out_ref.dtype)
+
+        def body(g, carry):
+            depth = (dv_a[pl.ds(g, 1), :]
+                     + didx * dv_b[pl.ds(g, 1), :])       # [1, R·wp]
+            var = _group_var(
+                proj_ref, src_ref, depth, g * R, mask_ref[0],
+                views=views, band=band, C=C, h=h, w=w, w_src=w_src,
+                src_hm=src_hm, src_row0=src_row0, R=R, wp=wp,
+                x_band=x_band, x_tile=x_tile, x_align=x_align,
+                interpret=interpret, compute_dtype=compute_dtype)
+            off = pl.multiple_of(head + g * (R * wp), 128)
+            out_ref[0, :, pl.ds(off, R * wp)] = var.astype(out_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, n_rg, body, 0)
 
 
 def plane_sweep_variance_lanes(
@@ -296,24 +362,58 @@ def plane_sweep_variance_lanes(
         for v in range(V)]
     proj_pack = jnp.stack(rels).reshape(V, 16).astype(jnp.float32)
 
+    src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
+    mask = jnp.asarray(_row_mask_np(R, wp, w))
+
     # per-pixel depth hypotheses in the aligned-row lane space
     # (edge-padded lanes, matching the old coord-field edge replication)
     if depth_planes is not None:
+        # plane-per-step kernel: grid (D+2,), row groups in-kernel, no
+        # zero template (halo planes and lane margins written in-kernel)
         lo, step, _ = depth_planes
         to_lanes = lambda m: jnp.pad(
             m.astype(jnp.float32), ((0, 0), (1, wp - w - 1)),
-            mode="edge").reshape(n_rg, 1, R * wp)
+            mode="edge").reshape(n_rg, R * wp)
         dv_a, dv_b = to_lanes(lo), to_lanes(step)
-        dv_spec = pl.BlockSpec((1, 1, R * wp), lambda d, r: (r, 0, 0),
-                               memory_space=pltpu.VMEM)
-    else:
-        dv_a = jnp.pad(depth_values.astype(jnp.float32),
-                       ((0, 0), (0, 0), (1, wp - w - 1)),
-                       mode="edge").reshape(D, n_rg, 1, R * wp)
-        dv_b = dv_a     # aliased dummy (unused in volume mode)
-        dv_spec = pl.BlockSpec((1, 1, 1, R * wp),
-                               lambda d, r: (d, r, 0, 0),
-                               memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _warp_var_plane_kernel, views=V, band=band, C=C, h=h, w=w,
+            w_src=w_src, src_hm=src_hm, src_row0=src_row0, R=R, wp=wp,
+            x_band=x_band, x_tile=x_tile, x_align=x_align, D=D,
+            halo=lay.halo, lanesp=lay.lanesp, n_rg=n_rg,
+            interpret=interpret, compute_dtype=compute_dtype)
+        out_block = C * lay.lanesp * np.dtype(out_dtype).itemsize
+        vmem = int(min(127 * 1024 * 1024,
+                       src_bytes + 2 * out_block + 24 * 1024 * 1024))
+        return pl.pallas_call(
+            kern,
+            grid=(D + 2,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(dv_a.shape, lambda d: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(dv_b.shape, lambda d: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R * wp), lambda d: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(src2d.shape, lambda d: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, C, lay.lanesp),
+                                   lambda d: (d, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((D + 2, C, lay.lanesp),
+                                           out_dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
+            **({"interpret": True} if interpret else {}),
+        )(proj_pack, dv_a, dv_b, mask, src2d)
+
+    dv_a = jnp.pad(depth_values.astype(jnp.float32),
+                   ((0, 0), (0, 0), (1, wp - w - 1)),
+                   mode="edge").reshape(D, n_rg, 1, R * wp)
+    dv_b = dv_a     # aliased dummy (unused in volume mode)
+    dv_spec = pl.BlockSpec((1, 1, 1, R * wp),
+                           lambda d, r: (d, r, 0, 0),
+                           memory_space=pltpu.VMEM)
 
     template = jnp.zeros((D + 2, C, lay.lanesp), out_dtype)
     H = lay.halo
@@ -323,14 +423,12 @@ def plane_sweep_variance_lanes(
         lambda d, r: (d + 1, 0, lane_off(H + (1 + r * R) * wp)),
         memory_space=pltpu.VMEM)
 
-    mask = jnp.asarray(_row_mask_np(R, wp, w))
     kern = functools.partial(
         _warp_var_kernel, views=V, band=band, C=C, h=h, w=w, w_src=w_src,
         src_hm=src_hm, src_row0=src_row0, R=R, wp=wp, x_band=x_band,
         x_tile=x_tile, x_align=x_align,
-        planes_mode=depth_planes is not None, interpret=interpret,
+        planes_mode=False, interpret=interpret,
         compute_dtype=compute_dtype)
-    src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     vmem = int(min(127 * 1024 * 1024, src_bytes + 28 * 1024 * 1024))
     return pl.pallas_call(
         kern,
