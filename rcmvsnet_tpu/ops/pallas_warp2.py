@@ -70,18 +70,30 @@ def _row_mask_np(R: int, wp: int, w: int):
 
 
 def _coords_inkernel(proj_ref, depth, v: int, h: int, w: int, wp: int,
-                     row0):
+                     row0, tiles=None):
     """px/py [1, R·wp] for view v, computed from the SMEM-resident
     relative projection — replaces the precomputed [D, n_rg, V, R·wp]
     coordinate fields (whose HBM traffic dominated the warp's XLA glue).
     Same math as ops.pallas_warp._pixel_coords / core.geometry
     project_to_grid: p = rot·[x, y, 1]·d + t, px = X/Z (the ±1
     normalize/denormalize round-trip cancels), z guarded away from 0,
-    coords clamped to the harmless just-outside range."""
+    coords clamped to the harmless just-outside range.
+
+    tiles=(R, x_tile): lanes are TILE-MAJOR — lane = xt·(R·x_tile) +
+    r·x_tile + u maps to (row r, padded col xt·x_tile + u), so each
+    x-tile's coords are one contiguous lane slice (see _group_var).
+    tiles=None: row-major lane = r·wp + col."""
     lanes = depth.shape[-1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-    x = jnp.clip(lane % wp - 1, 0, w - 1).astype(jnp.float32)
-    y = (row0 + lane // wp).astype(jnp.float32)
+    if tiles is None:
+        x = jnp.clip(lane % wp - 1, 0, w - 1).astype(jnp.float32)
+        y = (row0 + lane // wp).astype(jnp.float32)
+    else:
+        R, x_tile = tiles
+        t = lane // x_tile
+        col = (t // R) * x_tile + lane % x_tile
+        x = jnp.clip(col - 1, 0, w - 1).astype(jnp.float32)
+        y = (row0 + t % R).astype(jnp.float32)
     m = lambda i, j: proj_ref[v, 4 * i + j]
     rx = m(0, 0) * x + m(0, 1) * y + m(0, 2)
     ry = m(1, 0) * x + m(1, 1) * y + m(1, 2)
@@ -137,10 +149,21 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
                band: int, C: int, h: int, w: int, w_src: int, src_hm: int,
                src_row0: int, R: int, wp: int, x_band: int | None,
                x_tile: int, x_align: int, interpret: bool, compute_dtype):
-    """Multi-view variance [C, R·wp] for one (depth, R-row group):
-    the shared body of the per-group and per-plane kernels. `depth` is
-    the [1, R·wp] per-lane hypothesis, `row0` the (traced) first output
-    row, `mask` the [1, R·wp] real-pixel-lane mask."""
+    """Multi-view variance [C, R·wp] (row-major lanes) for one (depth,
+    R-row group): the shared body of the per-group and per-plane
+    kernels. `row0` is the (traced) first output row, `mask` the
+    row-major [1, R·wp] real-pixel-lane mask.
+
+    BANDED PATH LANE ORDER: `depth` must arrive TILE-MAJOR — lane =
+    xt·(R·x_tile) + r·x_tile + u for (row r, padded col xt·x_tile + u).
+    Every per-x-tile operand (coords, hat_y tile) is then ONE contiguous
+    lane slice; the old row-major order needed an R-piece slice-and-
+    concat shuffle per (view, tile) for pxt/pyt plus an inverse shuffle
+    for the matmul output, and ablation showed those vector permutes
+    costing more than the hat matmuls themselves. The view accumulators
+    run tile-major and are converted to row-major ONCE per group (two
+    shuffles total) before the reference view joins. Dense path
+    (x_band off): row-major `depth`, unchanged."""
     lanes = R * wp
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
@@ -148,13 +171,6 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
     banded_x = x_band is not None and x_band < w
     sub_jf = jax.lax.broadcasted_iota(
         jnp.int32, (band, lanes), 0).astype(jnp.float32)
-    if banded_x:
-        n_xt = wp // x_tile
-        kx_rel = jax.lax.broadcasted_iota(
-            jnp.int32, (x_band, R * x_tile), 0).astype(jnp.float32)
-    else:
-        kx = jax.lax.broadcasted_iota(jnp.int32, (w_src, lanes), 0).astype(
-            jnp.float32)
     roll = jnp.roll if interpret else pltpu.roll
 
     # view 0 is the reference view: its warp is the identity, so its
@@ -170,21 +186,20 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
         pieces.append(row if zpad is None
                       else jnp.concatenate([row, zpad], axis=1))
     ref_b = roll(jnp.concatenate(pieces, axis=1), 1, axis=1)  # [C, lanes]
-    acc_s = ref_b
-    acc_q = ref_b * ref_b
-    for v in range(1, views):
-        px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0)
-        ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
-                        0, h - band)
-        # offset the [1, lanes] coords by ymin instead of the [band,
-        # lanes] iota: one small op replaces a full-size add
-        py_rel = py - ymin.astype(jnp.float32)
-        # hat_y stays [band, lanes]: the per-row weight folds into the
-        # band reduction as a [1, lanes] broadcast multiply — C× fewer
-        # VPU ops than materializing it at [band·C, lanes]
-        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_rel - sub_jf))
-        if not banded_x:
-            rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C, band * C), :]
+
+    if not banded_x:
+        kx = jax.lax.broadcasted_iota(jnp.int32, (w_src, lanes), 0).astype(
+            jnp.float32)
+        acc_s = ref_b
+        acc_q = ref_b * ref_b
+        for v in range(1, views):
+            px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0)
+            ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
+                            0, h - band)
+            py_rel = py - ymin.astype(jnp.float32)
+            hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_rel - sub_jf))
+            rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C,
+                                 band * C), :]
             rows = rows.astype(compute_dtype)             # [band·C, w]
             hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(px - kx))
             out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
@@ -194,45 +209,64 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
             for s in range(band):
                 piece = out_x[s * C:(s + 1) * C, :] * hat_y[s:s + 1, :]
                 con = piece if con is None else con + piece
-        else:
-            row_pieces = [[] for _ in range(R)]
-            for xt in range(n_xt):
-                # gather this x-tile's lanes from every row
-                pxt = jnp.concatenate(
-                    [px[:, r * wp + xt * x_tile:
-                        r * wp + xt * x_tile + x_tile] for r in range(R)],
-                    axis=1)                                # [1, R·x_tile]
-                pyt = jnp.concatenate(
-                    [hat_y[:, r * wp + xt * x_tile:
-                           r * wp + xt * x_tile + x_tile]
-                     for r in range(R)], axis=1)   # hat_y tile [band, R·xt]
-                xmin = jnp.clip(
-                    (jnp.floor(jnp.min(pxt)).astype(jnp.int32) // x_align)
-                    * x_align, 0, w_src - x_band)
-                xmin = pl.multiple_of(xmin, x_align)
-                rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C, band * C),
-                               pl.ds(xmin, x_band)]
-                rows = rows.astype(compute_dtype)        # [band·C, x_band]
-                # offset the [1, N] coords by xmin instead of the
-                # [x_band, N] iota: drops a full-size VPU pass from
-                # every hat build
-                pxt_rel = pxt - xmin.astype(jnp.float32)
-                hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(pxt_rel - kx_rel))
-                out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
-                                preferred_element_type=jnp.float32,
-                                precision=precision)     # [band·C, R·xt]
-                cont = None
-                for s in range(band):
-                    piece = (out_x[s * C:(s + 1) * C, :]
-                             * pyt[s:s + 1, :])
-                    cont = piece if cont is None else cont + piece
-                for r in range(R):
-                    row_pieces[r].append(
-                        cont[:, r * x_tile:(r + 1) * x_tile])
-            con = jnp.concatenate(
-                [p for row in row_pieces for p in row], axis=1)
+            acc_s = acc_s + con
+            acc_q = acc_q + con * con
+        mean = acc_s / views
+        return (acc_q / views - mean * mean) * mask
+
+    n_xt = wp // x_tile
+    kx_rel = jax.lax.broadcasted_iota(
+        jnp.int32, (x_band, R * x_tile), 0).astype(jnp.float32)
+    acc_s = jnp.zeros((C, lanes), jnp.float32)
+    acc_q = jnp.zeros((C, lanes), jnp.float32)
+    for v in range(1, views):
+        px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0,
+                                  tiles=(R, x_tile))
+        ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
+                        0, h - band)
+        # offset the [1, lanes] coords by ymin instead of the [band,
+        # lanes] iota: one small op replaces a full-size add
+        py_rel = py - ymin.astype(jnp.float32)
+        # hat_y stays [band, lanes]: the per-row weight folds into the
+        # band reduction as a [1, lanes] broadcast multiply — C× fewer
+        # VPU ops than materializing it at [band·C, lanes]
+        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_rel - sub_jf))
+        conts = []
+        for xt in range(n_xt):
+            sl = slice(xt * R * x_tile, (xt + 1) * R * x_tile)
+            pxt = px[:, sl]                            # [1, R·x_tile]
+            pyt = hat_y[:, sl]                         # [band, R·x_tile]
+            xmin = jnp.clip(
+                (jnp.floor(jnp.min(pxt)).astype(jnp.int32) // x_align)
+                * x_align, 0, w_src - x_band)
+            xmin = pl.multiple_of(xmin, x_align)
+            rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C,
+                                 band * C), pl.ds(xmin, x_band)]
+            rows = rows.astype(compute_dtype)          # [band·C, x_band]
+            # offset the [1, N] coords by xmin instead of the
+            # [x_band, N] iota: drops a full-size VPU pass from
+            # every hat build
+            pxt_rel = pxt - xmin.astype(jnp.float32)
+            hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(pxt_rel - kx_rel))
+            out_x = jnp.dot(rows, hat_x.astype(compute_dtype),
+                            preferred_element_type=jnp.float32,
+                            precision=precision)       # [band·C, R·xt]
+            cont = None
+            for s in range(band):
+                piece = out_x[s * C:(s + 1) * C, :] * pyt[s:s + 1, :]
+                cont = piece if cont is None else cont + piece
+            conts.append(cont)
+        con = jnp.concatenate(conts, axis=1)           # tile-major
         acc_s = acc_s + con
         acc_q = acc_q + con * con
+    # ONE tile→row conversion per accumulator, then the reference view
+    # (built row-major) joins and the variance emits in layout order
+    to_rows = lambda x: jnp.concatenate(
+        [x[:, xt * R * x_tile + r * x_tile:
+           xt * R * x_tile + (r + 1) * x_tile]
+         for r in range(R) for xt in range(n_xt)], axis=1)
+    acc_s = to_rows(acc_s) + ref_b
+    acc_q = to_rows(acc_q) + ref_b * ref_b
     mean = acc_s / views
     return (acc_q / views - mean * mean) * mask
 
@@ -364,6 +398,22 @@ def plane_sweep_variance_lanes(
 
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     mask = jnp.asarray(_row_mask_np(R, wp, w))
+    if banded:
+        assert wp % x_tile == 0, (wp, x_tile)
+
+    def dv_lanes(m):
+        """[..., h, w] map → [..., n_rg groups, R·wp lanes] with edge-
+        padded lane borders; TILE-MAJOR lane order when banded (the
+        kernel's coords/hat operands are per-x-tile contiguous slices
+        there — see _group_var)."""
+        pads = [(0, 0)] * (m.ndim - 1) + [(1, wp - w - 1)]
+        m = jnp.pad(m.astype(jnp.float32), pads, mode="edge")
+        lead = m.shape[:-2]
+        m = m.reshape(lead + (n_rg, R, wp))
+        if banded:
+            m = m.reshape(lead + (n_rg, R, wp // x_tile, x_tile))
+            m = jnp.moveaxis(m, -3, -2)  # (..., n_rg, n_xt, R, x_tile)
+        return m.reshape(lead + (n_rg, R * wp))
 
     # per-pixel depth hypotheses in the aligned-row lane space
     # (edge-padded lanes, matching the old coord-field edge replication)
@@ -371,10 +421,7 @@ def plane_sweep_variance_lanes(
         # plane-per-step kernel: grid (D+2,), row groups in-kernel, no
         # zero template (halo planes and lane margins written in-kernel)
         lo, step, _ = depth_planes
-        to_lanes = lambda m: jnp.pad(
-            m.astype(jnp.float32), ((0, 0), (1, wp - w - 1)),
-            mode="edge").reshape(n_rg, R * wp)
-        dv_a, dv_b = to_lanes(lo), to_lanes(step)
+        dv_a, dv_b = dv_lanes(lo), dv_lanes(step)
         kern = functools.partial(
             _warp_var_plane_kernel, views=V, band=band, C=C, h=h, w=w,
             w_src=w_src, src_hm=src_hm, src_row0=src_row0, R=R, wp=wp,
@@ -407,9 +454,7 @@ def plane_sweep_variance_lanes(
             **({"interpret": True} if interpret else {}),
         )(proj_pack, dv_a, dv_b, mask, src2d)
 
-    dv_a = jnp.pad(depth_values.astype(jnp.float32),
-                   ((0, 0), (0, 0), (1, wp - w - 1)),
-                   mode="edge").reshape(D, n_rg, 1, R * wp)
+    dv_a = dv_lanes(depth_values).reshape(D, n_rg, 1, R * wp)
     dv_b = dv_a     # aliased dummy (unused in volume mode)
     dv_spec = pl.BlockSpec((1, 1, 1, R * wp),
                            lambda d, r: (d, r, 0, 0),
