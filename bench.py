@@ -23,7 +23,28 @@ H, W, VIEWS, NDEPTH = 864, 1152, 5, 192
 WARMUP, ITERS = 2, 10
 
 
+def _probe_backend(timeout_s: int = 240) -> None:
+    """Fail fast if the TPU backend hangs (a dead tunnel blocks
+    jax.devices() forever; better a clean nonzero exit than a silent
+    driver timeout). Probes in a subprocess so the hang can't leak."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: backend init timed out after {timeout_s}s "
+              "(TPU tunnel unavailable?)", file=sys.stderr)
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:
+        print(f"bench: backend init failed:\n{e.stderr.decode()[-2000:]}",
+              file=sys.stderr)
+        sys.exit(3)
+
+
 def main():
+    _probe_backend()
     from rcmvsnet_tpu.config import BackboneConfig, Config
     from rcmvsnet_tpu.data.synthetic import make_synthetic_batch
     from rcmvsnet_tpu.train.state import make_models
