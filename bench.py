@@ -23,24 +23,30 @@ H, W, VIEWS, NDEPTH = 864, 1152, 5, 192
 WARMUP, ITERS = 2, 10
 
 
-def _probe_backend(timeout_s: int = 240) -> None:
-    """Fail fast if the TPU backend hangs (a dead tunnel blocks
-    jax.devices() forever; better a clean nonzero exit than a silent
-    driver timeout). Probes in a subprocess so the hang can't leak."""
+def _probe_backend(timeout_s: int = 180, attempts: int = 4) -> None:
+    """Fail fast (with a short retry window) if the TPU backend hangs —
+    a dead tunnel blocks jax.devices() forever, and better a clean
+    nonzero exit after a bounded wait than a silent driver timeout.
+    Probes in a subprocess so the hang can't leak into this process."""
     import subprocess
     import sys
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, check=True, capture_output=True)
-    except subprocess.TimeoutExpired:
-        print(f"bench: backend init timed out after {timeout_s}s "
-              "(TPU tunnel unavailable?)", file=sys.stderr)
-        sys.exit(3)
-    except subprocess.CalledProcessError as e:
-        print(f"bench: backend init failed:\n{e.stderr.decode()[-2000:]}",
+    last = "?"
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, check=True, capture_output=True)
+            return
+        except subprocess.TimeoutExpired:
+            last = f"init timed out after {timeout_s}s"
+        except subprocess.CalledProcessError as e:
+            last = f"init failed:\n{e.stderr.decode()[-2000:]}"
+        print(f"bench: backend probe {i + 1}/{attempts}: {last}",
               file=sys.stderr)
-        sys.exit(3)
+        time.sleep(30)
+    print(f"bench: giving up — backend {last} (TPU tunnel unavailable?)",
+          file=sys.stderr)
+    sys.exit(3)
 
 
 def main():
