@@ -245,11 +245,23 @@ def save_depth(args, testlist):
             cascade = build_model(args, *pick_fast_path(args, ds[0]))
             forward = build_forward(cascade, args, ds[0], n_shards=S)
             variables = load_variables(cascade, args.loadckpt, ds[0])
-        for i0 in range(0, len(ds), S):
+        # pipeline host-side JPEG decode/resize against device compute:
+        # chunk k+1 loads on a worker thread while the device runs chunk
+        # k (at full DTU resolution the synchronous decode would rival
+        # the device time per chunk)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load_chunk(i0):
             # one reference view per device; the tail chunk repeats its
             # last view to fill the mesh (padded outputs are discarded)
-            idx = [min(i0 + j, len(ds) - 1) for j in range(S)]
-            samples = [ds[i] for i in idx]
+            return [ds[min(i0 + j, len(ds) - 1)] for j in range(S)]
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(load_chunk, 0)
+        for i0 in range(0, len(ds), S):
+            samples = pending.result()
+            if i0 + S < len(ds):
+                pending = pool.submit(load_chunk, i0 + S)
             t0 = time.time()
             stack = lambda key: jnp.asarray(
                 np.stack([np.asarray(s[key]) for s in samples]))
@@ -270,6 +282,7 @@ def save_depth(args, testlist):
             for j in range(n_real):
                 _write_view(args, outdir, samples[j], depths[j], confs[j],
                             IMAGENET_MEAN, IMAGENET_STD)
+        pool.shutdown(wait=False)
 
 
 def _write_view(args, outdir, sample, depth, conf, IMAGENET_MEAN,

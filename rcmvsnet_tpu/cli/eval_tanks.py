@@ -127,10 +127,20 @@ def main(argv=None):
         variables = load_variables(cascade, args.loadckpt, ds[0])
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
         import cv2
-        for i0 in range(0, len(ds), S):
+        # pipeline host-side decode/resize against device compute (the
+        # synchronous 1920x1056 loads would otherwise serialize with it)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load_chunk(i0):
             # one reference view per device (tail repeats the last view)
-            idx = [min(i0 + j, len(ds) - 1) for j in range(S)]
-            samples = [ds[i] for i in idx]
+            return [ds[min(i0 + j, len(ds) - 1)] for j in range(S)]
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(load_chunk, 0)
+        for i0 in range(0, len(ds), S):
+            samples = pending.result()
+            if i0 + S < len(ds):
+                pending = pool.submit(load_chunk, i0 + S)
             t0 = time.time()
             outputs = forward(
                 variables,
@@ -149,6 +159,7 @@ def main(argv=None):
             for j, sample in enumerate(samples[:n_real]):
                 _write_tanks_view(outdir, sample, depths[j], confs[j],
                                   IMAGENET_MEAN, IMAGENET_STD, cv2)
+        pool.shutdown(wait=False)
 
     if not args.no_filter:
         for scan in scans:
