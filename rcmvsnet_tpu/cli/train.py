@@ -155,7 +155,10 @@ def main(argv=None):
                     jax.profiler.start_trace(f"{config.run.logdir}/profile")
                     profile_until = step_idx + args.profile_steps
                 state, metrics = train_step(state, sharded, step_rng)
-                gstep = int(state.step)
+                # host-mirrored step counter: int(state.step) would force
+                # a blocking device sync EVERY step, serializing dispatch
+                # (the optimizer applies exactly one increment per call)
+                gstep = epoch * steps_per_epoch + step_idx + 1
                 if profile_until is not None and step_idx >= profile_until:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics["loss"])
@@ -176,7 +179,8 @@ def main(argv=None):
                     print(f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
                           f"loss {host['loss']:.3f} "
                           f"time {host['step_time']:.2f}s")
-            logger.log("fulltrain", meter.mean(), int(state.step))
+            gstep = (epoch + 1) * steps_per_epoch
+            logger.log("fulltrain", meter.mean(), gstep)
 
             host_state = jax.device_get(state)
             save_checkpoint(config.run.logdir, host_state, epoch)
@@ -189,7 +193,7 @@ def main(argv=None):
                 sharded = shard_batch(batch, mesh)
                 vmetrics = val_step(state, sharded)
                 vmeter.update({k: float(v) for k, v in vmetrics.items()})
-            logger.log("fulltest", vmeter.mean(), int(state.step))
+            logger.log("fulltest", vmeter.mean(), gstep)
             print(f"epoch {epoch} val: {vmeter.mean()}")
     logger.close()
 
