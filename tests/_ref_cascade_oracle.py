@@ -93,6 +93,30 @@ def main(out_dir, ckpt_path):
     with torch.no_grad():
         out = model(imgs, proj, dv)
 
+    # TRAIN-graph oracle: the train variant (casmvsnet.py:126-231) with the
+    # same weights IN .train() MODE (batch-stats BN) — it additionally
+    # warps the raw source images and returns the stage-1
+    # volume_feature_no_ref [B, 3(V-1)+C, D, h, w] consumed by the
+    # rendering branch. .train() matters beyond BN: DepthNet's eval branch
+    # (casmvsnet.py:93-97) corrupts the no-ref accumulators via the
+    # in-place `warped_volume.pow_(2)` (sum picks up x², sq-sum x⁴); only
+    # the train branch — the one the rendering branch ever sees — is clean.
+    train_model = cas.CascadeMVSNet(ndepths=NDEPTHS,
+                                    depth_interals_ratio=RATIOS)
+    train_model.train()
+    # ... but with BN modules in eval (running-stats) mode: train-mode BN
+    # stats are per-FeatureNet-call = per VIEW in the reference (it loops
+    # `self.feature(img)` view by view, casmvsnet.py:177-180) while our
+    # TPU-first FeatureNet batches all B·V views through one pass — a
+    # documented deviation, so the oracle pins the shared (running-stats)
+    # semantics and the clean train-branch volume accumulation only.
+    for m in train_model.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.eval()
+    train_model.load_state_dict(randomized_state_dict(train_model))
+    with torch.no_grad():
+        tout, volume = train_model(imgs, proj, dv)
+
     # legacy (non-zip) serialization + separate .npy files: the zip paths
     # (torch's miniz container, numpy's npz via zipfile→encodings.cp437)
     # touch code/pages this flaky host can fail to read.
@@ -102,7 +126,9 @@ def main(out_dir, ckpt_path):
     for name, arr in [("depth", out["depth"]),
                       ("conf", out["photometric_confidence"]),
                       ("s1_depth", out["stage1"]["depth"]),
-                      ("s2_depth", out["stage2"]["depth"])]:
+                      ("s2_depth", out["stage2"]["depth"]),
+                      ("train_depth", tout["depth"]),
+                      ("train_volume", volume)]:
         np.save(os.path.join(out_dir, name + ".npy"), arr.numpy())
     print("oracle ok")
 

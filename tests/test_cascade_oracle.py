@@ -38,11 +38,12 @@ def oracle(tmp_path_factory):
                     f"(rc={proc.returncode}; flaky-host SIGBUS?): "
                     f"{proc.stderr[-300:]}")
     arrays = {name: np.load(tmp / f"{name}.npy")
-              for name in ("depth", "conf", "s1_depth", "s2_depth")}
+              for name in ("depth", "conf", "s1_depth", "s2_depth",
+                           "train_depth", "train_volume")}
     return arrays, ckpt
 
 
-def _our_forward(ckpt):
+def _our_forward(ckpt, return_volume=False, train=False):
     from rcmvsnet_tpu.cli.eval_dtu import load_variables
     from rcmvsnet_tpu.data.synthetic import make_synthetic_batch
     from rcmvsnet_tpu.models.cascade import CascadeMVSNet
@@ -61,7 +62,13 @@ def _our_forward(ckpt):
     imgs = jnp.asarray(batch["imgs"])
     projs = jax.tree_util.tree_map(jnp.asarray, batch["proj_matrices"])
     dv = jnp.asarray(batch["depth_values"])
-    return cascade.apply(variables, imgs, projs, dv, train=False)
+    if train:
+        out, _ = cascade.apply(variables, imgs, projs, dv, train=True,
+                               return_volume=return_volume,
+                               mutable=["batch_stats"])
+        return out
+    return cascade.apply(variables, imgs, projs, dv, train=False,
+                         return_volume=return_volume)
 
 
 def test_cascade_matches_reference(oracle):
@@ -81,3 +88,22 @@ def test_cascade_matches_reference(oracle):
     assert float(np.abs(ours["depth"] - ref["depth"]).mean()) < 0.02
     np.testing.assert_allclose(ours["photometric_confidence"], ref["conf"],
                                rtol=0, atol=5e-3)
+
+
+def test_train_graph_matches_reference(oracle):
+    """The reference TRAIN cascade in .train() mode (clean no-ref
+    accumulators; BN pinned to running stats — see the helper) vs ours
+    with return_volume: covers the raw-image warps and the stage-1
+    volume_feature_no_ref layout [B, 3(V-1)+C, D, h, w] → ours
+    [B, D, h, w, 3(V-1)+C] that the rendering branch consumes
+    (casmvsnet.py:58-102,231), including the divide-by-V (not V-1)
+    no-ref variance quirk."""
+    ref, ckpt = oracle
+    outputs, volume = _our_forward(ckpt, return_volume=True)
+    depth = np.asarray(outputs["depth"])
+    volume = np.asarray(volume)
+
+    np.testing.assert_allclose(depth, ref["train_depth"], rtol=0, atol=0.2)
+    ref_vol = np.transpose(ref["train_volume"], (0, 2, 3, 4, 1))
+    assert volume.shape == ref_vol.shape
+    np.testing.assert_allclose(volume, ref_vol, rtol=0, atol=2e-3)
