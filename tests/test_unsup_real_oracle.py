@@ -1,0 +1,56 @@
+"""Unsupervised-loss parity vs the REFERENCE'S OWN source (not a port).
+
+Complements tests/test_unsup_oracle.py (literal in-repo port): the
+subprocess executes /root/reference/losses/unsup_loss.py itself, so a
+transcription error in the port cannot mask a real divergence in the
+scalar-broadcast reconstruction loss, the ≤2-view SSIM accumulation, the
+top-1 view selection, the 1e4 invalid-pixel penalty, or the 12/6/0.18 and
+dlossw weightings.
+"""
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+HELPER = Path(__file__).with_name("_ref_unsup_oracle.py")
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("unsup_oracle")
+    proc = subprocess.run([sys.executable, str(HELPER), str(tmp)],
+                          capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0 or not (tmp / "total.npy").exists():
+        pytest.skip("torch reference unsup-loss oracle failed "
+                    f"(rc={proc.returncode}; flaky-host SIGBUS?): "
+                    f"{proc.stderr[-300:]}")
+    return {p.stem: float(np.load(p)) for p in tmp.glob("*.npy")}
+
+
+def test_unsup_loss_matches_reference_source(oracle):
+    from rcmvsnet_tpu.losses.unsup import unsup_loss_multi_stage
+    from tests._ref_unsup_oracle import DLOSSW, make_loss_inputs
+
+    batch, depths = make_loss_inputs()
+    outputs = {k: {"depth": jnp.asarray(v)} for k, v in depths.items()}
+    total, scalars = unsup_loss_multi_stage(
+        outputs, jnp.asarray(batch["center_imgs"]),
+        {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()},
+        dlossw=tuple(DLOSSW))
+
+    assert abs(float(total) - oracle["total"]) < 1e-4 * max(
+        1.0, abs(oracle["total"]))
+    for stage in (1, 2, 3):
+        ours = float(scalars[f"depth_loss_stage{stage}"])
+        ref = oracle[f"depth_loss_stage{stage}"]
+        assert abs(ours - ref) < 1e-4 * max(1.0, abs(ref)), (
+            f"stage{stage}: ours {ours} vs reference {ref}")
+        for comp in ("reconstr", "ssim", "smooth"):
+            ours_c = float(scalars[f"{comp}_loss_stage{stage}"])
+            ref_c = oracle[f"{comp}_loss_stage{stage}"]
+            assert abs(ours_c - ref_c) < 1e-4 * max(1.0, abs(ref_c)), (
+                f"{comp} stage{stage}: ours {ours_c} vs reference {ref_c}")
