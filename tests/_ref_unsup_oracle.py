@@ -28,13 +28,13 @@ def load_reference_losses():
     pkg = types.ModuleType("losses")
     pkg.__path__ = ["/root/reference/losses"]
     sys.modules["losses"] = pkg
-    for name in ("modules", "homography", "unsup_loss"):
+    for name in ("modules", "homography", "unsup_loss", "aug_loss"):
         spec = importlib.util.spec_from_file_location(
             f"losses.{name}", f"/root/reference/losses/{name}.py")
         mod = importlib.util.module_from_spec(spec)
         sys.modules[f"losses.{name}"] = mod
         spec.loader.exec_module(mod)
-    return sys.modules["losses.unsup_loss"]
+    return sys.modules["losses.unsup_loss"], sys.modules["losses.aug_loss"]
 
 
 def make_loss_inputs():
@@ -49,15 +49,18 @@ def make_loss_inputs():
     for key, d in batch["depth"].items():
         depths[key] = (d * (1.0 + 0.02 * rs.randn(*d.shape))).astype(
             np.float32)
-    return batch, depths
+    # deterministic (H/3, W/3) hole for the aug filter mask
+    filter_mask = np.ones((1, H, W), np.float32)
+    filter_mask[:, H // 5:H // 5 + H // 3, W // 4:W // 4 + W // 3] = 0.0
+    return batch, depths, filter_mask
 
 
 def main(out_dir):
     import torch
 
     torch.set_num_threads(1)
-    unsup = load_reference_losses()
-    batch, depths = make_loss_inputs()
+    unsup, aug = load_reference_losses()
+    batch, depths, filter_mask = make_loss_inputs()
 
     imgs = torch.from_numpy(np.ascontiguousarray(
         np.transpose(batch["center_imgs"], (0, 1, 4, 2, 3))))
@@ -66,6 +69,14 @@ def main(out_dir):
 
     loss_fn = unsup.UnsupLossMultiStage()
     total, scalars = loss_fn(inputs, imgs, cams, dlossw=DLOSSW)
+
+    # AugLossMultiStage (aug_loss.py:28-67): aug-pass depths vs full-res
+    # pseudo-depth under the nearest-downscaled filter mask
+    pseudo = torch.from_numpy(batch["depth"]["stage3"])       # [B, H, W]
+    fmask = torch.from_numpy(filter_mask).unsqueeze(1)        # [B, 1, H, W]
+    aug_total, aug_scalars = aug.AugLossMultiStage()(
+        inputs, pseudo, None, fmask, dlossw=DLOSSW)
+    scalars = dict(scalars, aug_total=aug_total, **aug_scalars)
 
     np.save(os.path.join(out_dir, "total.npy"),
             np.asarray(float(total), np.float32))

@@ -35,7 +35,7 @@ def test_unsup_loss_matches_reference_source(oracle):
     from rcmvsnet_tpu.losses.unsup import unsup_loss_multi_stage
     from tests._ref_unsup_oracle import DLOSSW, make_loss_inputs
 
-    batch, depths = make_loss_inputs()
+    batch, depths, _ = make_loss_inputs()
     outputs = {k: {"depth": jnp.asarray(v)} for k, v in depths.items()}
     total, scalars = unsup_loss_multi_stage(
         outputs, jnp.asarray(batch["center_imgs"]),
@@ -54,3 +54,22 @@ def test_unsup_loss_matches_reference_source(oracle):
             ref_c = oracle[f"{comp}_loss_stage{stage}"]
             assert abs(ours_c - ref_c) < 1e-4 * max(1.0, abs(ref_c)), (
                 f"{comp} stage{stage}: ours {ours_c} vs reference {ref_c}")
+
+
+def test_aug_loss_matches_reference_source(oracle):
+    from rcmvsnet_tpu.losses.aug import aug_loss_multi_stage
+    from tests._ref_unsup_oracle import DLOSSW, make_loss_inputs
+
+    batch, depths, filter_mask = make_loss_inputs()
+    outputs = {k: {"depth": jnp.asarray(v)} for k, v in depths.items()}
+    total, scalars = aug_loss_multi_stage(
+        outputs, jnp.asarray(batch["depth"]["stage3"]),
+        jnp.asarray(filter_mask)[..., None], dlossw=tuple(DLOSSW))
+
+    assert abs(float(total) - oracle["aug_total"]) < 1e-4 * max(
+        1.0, abs(oracle["aug_total"]))
+    for stage in (1, 2, 3):
+        ours = float(scalars[f"aug_loss_stage{stage}"])
+        ref = oracle[f"aug_loss_stage{stage}"]
+        assert abs(ours - ref) < 1e-4 * max(1.0, abs(ref)), (
+            f"aug stage{stage}: ours {ours} vs reference {ref}")
