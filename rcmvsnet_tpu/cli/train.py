@@ -24,7 +24,8 @@ from ..data.dtu_train import DTUTrainDataset
 from ..data.dtu_val import DTUValDataset
 from ..data.loader import DataLoader
 from ..losses.aug import adjust_w_aug
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (initialize_multihost, is_main_process,
+                             make_mesh, replicate, shard_batch)
 from ..train.checkpoint import restore_checkpoint, save_checkpoint
 from ..train.logging import DictAverageMeter, MetricLogger
 from ..train.state import create_train_state
@@ -56,6 +57,14 @@ def parse_args(argv=None):
     p.add_argument("--random_seed", type=int, default=1)
     p.add_argument("--summary_freq", type=int, default=10)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 — joins a multi-host "
+                        "jax.distributed run (DCN); the reference's "
+                        "init_process_group rendezvous "
+                        "(train_rcmvsnet.py:503-505). On TPU pods the "
+                        "three flags may be omitted (cluster autodetect).")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap steps/epoch (debug/smoke runs)")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -80,14 +89,37 @@ def config_from_args(a) -> Config:
                       summary_freq=a.summary_freq, n_devices=a.n_devices))
 
 
+def _host_image(v):
+    """Host-transfer a summary image batch. Multi-process runs shard the
+    batch axis across hosts, so the global array is not fully addressable;
+    take the first process-local shard — rank 0 logs its own first sample,
+    the reference's DDP rank-0 save_images semantics (utils.py:83-100)."""
+    if getattr(v, "is_fully_addressable", True):
+        return np.asarray(v)
+    return np.asarray(v.addressable_shards[0].data)
+
+
 def main(argv=None):
     args = parse_args(argv)
     config = config_from_args(args)
 
+    if args.coordinator_address or args.num_processes:
+        initialize_multihost(coordinator_address=args.coordinator_address,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
+    n_proc = jax.process_count()
+    rank0 = is_main_process()
+
     mesh = make_mesh(config.run.n_devices)
     n_dev = mesh.devices.size
     global_batch = config.run.batch_size * n_dev
-    print(f"mesh: {n_dev} devices, global batch {global_batch}")
+    if global_batch % n_proc:
+        raise SystemExit(f"global batch {global_batch} not divisible by "
+                         f"{n_proc} processes")
+    local_batch = global_batch // n_proc
+    if rank0:
+        print(f"mesh: {n_dev} devices / {n_proc} process(es), "
+              f"global batch {global_batch}")
 
     if args.trainpath == "synthetic":
         # smoke-test mode: textured-plane scenes, no DTU on disk
@@ -113,27 +145,39 @@ def main(argv=None):
                                nviews=config.data.eval_num_views,
                                ndepths=config.data.numdepth,
                                interval_scale=config.data.interval_scale)
-    train_loader = DataLoader(train_ds, global_batch, shuffle=True,
-                              seed=config.run.seed)
-    val_loader = DataLoader(val_ds, global_batch, shuffle=False,
-                            drop_last=False)
+    # each process loads only its shard of the global batch
+    # (DistributedSampler semantics, train_rcmvsnet.py:592-600)
+    pidx = jax.process_index()
+    train_loader = DataLoader(train_ds, local_batch, shuffle=True,
+                              seed=config.run.seed,
+                              process_index=pidx, process_count=n_proc)
+    val_loader = DataLoader(val_ds, local_batch, shuffle=False,
+                            drop_last=n_proc > 1,
+                            process_index=pidx, process_count=n_proc)
     steps_per_epoch = len(train_loader)
     if args.max_steps:
         steps_per_epoch = min(steps_per_epoch, args.max_steps)
 
     rng = jax.random.PRNGKey(config.run.seed)
     rng, init_rng = jax.random.split(rng)
-    sample = next(iter(DataLoader(train_ds, global_batch, shuffle=False)))
+    # flax init depends on input SHAPES and the rng only, so a local-batch
+    # sample yields identical parameters on every process
+    sample = next(iter(DataLoader(train_ds, local_batch, shuffle=False,
+                                  process_index=pidx,
+                                  process_count=n_proc)))
     state = create_train_state(config, sample, steps_per_epoch, init_rng)
     start_epoch = 0
     if args.resume:
         state, start_epoch = restore_checkpoint(config.run.logdir, state)
-        print(f"resumed at epoch {start_epoch}")
+        if rank0:
+            print(f"resumed at epoch {start_epoch}")
 
     train_step = jax.jit(make_train_step(config, steps_per_epoch,
                                          with_images=True))
     val_step = jax.jit(make_val_step(config))
-    logger = MetricLogger(config.run.logdir)
+    # rank-0-only observability, matching the reference's
+    # dist.get_rank()==0 guard (train_rcmvsnet.py:151)
+    logger = MetricLogger(config.run.logdir) if rank0 else None
     profile_until = None
 
     with mesh:
@@ -166,24 +210,25 @@ def main(argv=None):
                     profile_until = None
                     print(f"profile trace -> {config.run.logdir}/profile")
                 images = metrics.pop("images", None)
-                if gstep % config.run.summary_freq == 0:
+                if rank0 and gstep % config.run.summary_freq == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["step_time"] = time.time() - t0
                     logger.log("train", host, gstep)
                     if images is not None:
                         logger.log_images(
                             "train",
-                            {k: np.asarray(v) for k, v in images.items()},
+                            {k: _host_image(v) for k, v in images.items()},
                             gstep)
                     meter.update(host)
                     print(f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
                           f"loss {host['loss']:.3f} "
                           f"time {host['step_time']:.2f}s")
             gstep = (epoch + 1) * steps_per_epoch
-            logger.log("fulltrain", meter.mean(), gstep)
-
-            host_state = jax.device_get(state)
-            save_checkpoint(config.run.logdir, host_state, epoch)
+            if rank0:
+                logger.log("fulltrain", meter.mean(), gstep)
+                # state is fully replicated, so rank 0 holds every leaf
+                save_checkpoint(config.run.logdir, jax.device_get(state),
+                                epoch)
 
             # supervised validation (monitoring only)
             vmeter = DictAverageMeter()
@@ -193,9 +238,11 @@ def main(argv=None):
                 sharded = shard_batch(batch, mesh)
                 vmetrics = val_step(state, sharded)
                 vmeter.update({k: float(v) for k, v in vmetrics.items()})
-            logger.log("fulltest", vmeter.mean(), gstep)
-            print(f"epoch {epoch} val: {vmeter.mean()}")
-    logger.close()
+            if rank0:
+                logger.log("fulltest", vmeter.mean(), gstep)
+                print(f"epoch {epoch} val: {vmeter.mean()}")
+    if rank0:
+        logger.close()
 
 
 if __name__ == "__main__":

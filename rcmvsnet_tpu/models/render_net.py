@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..core.geometry import HIGHEST
@@ -33,8 +34,11 @@ from ..nn.neural_volume import NeuralVolumeNet
 from ..render.rays import RayBatch, build_color_volume, index_point_feature, sample_rays
 from ..render.volume_render import RenderOutput, depth2dist, volumetric_render
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+# numpy on purpose: module-level jnp.array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize (it must
+# run first — cli/train.py multi-host path)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def unpreprocess(imgs: jnp.ndarray) -> jnp.ndarray:

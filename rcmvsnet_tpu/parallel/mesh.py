@@ -11,18 +11,42 @@ This is the TPU-native replacement for the reference's NCCL stack
   * DistributedSampler  → shard_batch places per-host batches on the mesh
   * dist.reduce metrics → jnp means over the sharded batch axis
 
-Multi-host extension: call jax.distributed.initialize() before make_mesh;
-the same code paths then span hosts over DCN.
+Multi-host: call initialize_multihost() (jax.distributed) before make_mesh;
+the same jit'd code paths then span hosts, with gradient all-reduce and BN
+stat reductions riding DCN between hosts and ICI within them. shard_batch/
+replicate assemble global jax.Arrays from per-process host data, playing
+the reference DistributedSampler's role across hosts
+(tests/test_multihost.py runs a real 2-process Gloo-backed parity check).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None,
+                         local_device_ids: Optional[Sequence[int]] = None):
+    """Join the multi-host runtime (DCN analogue of the reference's
+    init_process_group, train_rcmvsnet.py:505). Must run before the first
+    backend use. Arguments left None fall back to jax's cluster-env
+    autodetection (TPU pods set them automatically)."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
+
+
+def is_main_process() -> bool:
+    """Rank-0 guard for logging/checkpointing (reference utils.py:165-206
+    semantics: only rank 0 writes)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -39,13 +63,27 @@ def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
-    """Device-put a pytree of host arrays with batch axis 0 sharded."""
+    """Place a pytree of host arrays on the mesh with batch axis 0 sharded.
+
+    Single-process: a plain device_put. Multi-process: each process passes
+    only ITS slice of the global batch (the loader's process shard) and the
+    slices are assembled into global jax.Arrays — the DistributedSampler
+    semantics of train_rcmvsnet.py:592-600."""
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh. Multi-process: every
+    process must hold identical values (e.g. same-seed init)."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
