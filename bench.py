@@ -23,7 +23,7 @@ H, W, VIEWS, NDEPTH = 864, 1152, 5, 192
 WARMUP, ITERS = 2, 10
 
 
-def _probe_backend(timeout_s: int = 180, attempts: int = 4) -> None:
+def _probe_backend(timeout_s: int = 180, attempts: int = 6) -> None:
     """Fail fast (with a short retry window) if the TPU backend hangs —
     a dead tunnel blocks jax.devices() forever, and better a clean
     nonzero exit after a bounded wait than a silent driver timeout.
@@ -43,7 +43,7 @@ def _probe_backend(timeout_s: int = 180, attempts: int = 4) -> None:
             last = f"init failed:\n{e.stderr.decode()[-2000:]}"
         print(f"bench: backend probe {i + 1}/{attempts}: {last}",
               file=sys.stderr)
-        time.sleep(30)
+        time.sleep(60)
     print(f"bench: giving up — backend {last} (TPU tunnel unavailable?)",
           file=sys.stderr)
     sys.exit(3)
