@@ -41,6 +41,18 @@ def parse_args(argv=None):
     p.add_argument("--logdir", default="./rc-mvsnet")
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lrepochs", default="10,12,14:2",
+                   help="'e1,e2,..:g' — scale lr by 1/g at those epochs "
+                        "(reference train_rcmvsnet.py:40,131-132)")
+    p.add_argument("--wd", type=float, default=0.0,
+                   help="L2-into-gradient weight decay (torch Adam style)")
+    p.add_argument("--save_freq", type=int, default=1)
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--grad_method", default="detach",
+                   choices=["detach", "undetach"])
+    p.add_argument("--net_type", default="v0", choices=["v0", "v1", "v2"],
+                   help="renderer MLP variant (v0 mult-bias / v1 attention "
+                        "/ v2 additive)")
     p.add_argument("--batch_size", type=int, default=1,
                    help="per-device batch size")
     p.add_argument("--num_view", type=int, default=3)
@@ -75,16 +87,23 @@ def parse_args(argv=None):
 
 def config_from_args(a) -> Config:
     csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
+    milestones_str, _, gamma_str = a.lrepochs.partition(":")
     return Config(
         backbone=BackboneConfig(ndepths=csv(a.ndepths, int),
                                 depth_intervals_ratio=csv(a.depth_inter_r, float),
-                                cr_base_chs=csv(a.cr_base_chs, int)),
-        render=RenderConfig(n_rays=a.n_rays, n_samples=a.n_samples),
+                                cr_base_chs=csv(a.cr_base_chs, int),
+                                grad_detach=a.grad_method == "detach"),
+        render=RenderConfig(n_rays=a.n_rays, n_samples=a.n_samples,
+                            net_type=a.net_type),
         loss=LossConfig(dlossw=csv(a.dlossw, float), w_aug=a.w_aug),
         data=DataConfig(datapath=a.trainpath, train_list=a.trainlist,
                         test_list=a.testlist, num_views=a.num_view + 1,
                         numdepth=a.numdepth, interval_scale=a.interval_scale),
         run=RunConfig(epochs=a.epochs, lr=a.lr, batch_size=a.batch_size,
+                      lr_milestone_epochs=csv(milestones_str, int),
+                      lr_gamma=1.0 / float(gamma_str or 2.0),
+                      weight_decay=a.wd,
+                      save_freq=a.save_freq, eval_freq=a.eval_freq,
                       seed=a.random_seed, logdir=a.logdir,
                       summary_freq=a.summary_freq, n_devices=a.n_devices))
 
@@ -226,21 +245,25 @@ def main(argv=None):
             gstep = (epoch + 1) * steps_per_epoch
             if rank0:
                 logger.log("fulltrain", meter.mean(), gstep)
-                # state is fully replicated, so rank 0 holds every leaf
-                save_checkpoint(config.run.logdir, jax.device_get(state),
-                                epoch)
+                if (epoch + 1) % config.run.save_freq == 0:
+                    # state is fully replicated: rank 0 holds every leaf
+                    save_checkpoint(config.run.logdir,
+                                    jax.device_get(state), epoch)
 
-            # supervised validation (monitoring only)
-            vmeter = DictAverageMeter()
-            for vi, batch in enumerate(val_loader):
-                if args.max_steps and vi >= args.max_steps:
-                    break
-                sharded = shard_batch(batch, mesh)
-                vmetrics = val_step(state, sharded)
-                vmeter.update({k: float(v) for k, v in vmetrics.items()})
-            if rank0:
-                logger.log("fulltest", vmeter.mean(), gstep)
-                print(f"epoch {epoch} val: {vmeter.mean()}")
+            # supervised validation (monitoring only; reference
+            # train_rcmvsnet.py:230 eval_freq gate)
+            if (epoch % config.run.eval_freq == 0
+                    or epoch == config.run.epochs - 1):
+                vmeter = DictAverageMeter()
+                for vi, batch in enumerate(val_loader):
+                    if args.max_steps and vi >= args.max_steps:
+                        break
+                    sharded = shard_batch(batch, mesh)
+                    vmetrics = val_step(state, sharded)
+                    vmeter.update({k: float(v) for k, v in vmetrics.items()})
+                if rank0:
+                    logger.log("fulltest", vmeter.mean(), gstep)
+                    print(f"epoch {epoch} val: {vmeter.mean()}")
     if rank0:
         logger.close()
 
