@@ -43,7 +43,8 @@ def _probe_backend(timeout_s: int = 180, attempts: int = 6) -> None:
             last = f"init failed:\n{e.stderr.decode()[-2000:]}"
         print(f"bench: backend probe {i + 1}/{attempts}: {last}",
               file=sys.stderr)
-        time.sleep(60)
+        if i < attempts - 1:
+            time.sleep(60)
     print(f"bench: giving up — backend {last} (TPU tunnel unavailable?)",
           file=sys.stderr)
     sys.exit(3)

@@ -69,12 +69,15 @@ def parse_args(argv=None):
     p.add_argument("--random_seed", type=int, default=1)
     p.add_argument("--summary_freq", type=int, default=10)
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host jax.distributed run with "
+                        "cluster autodetection (TPU pods, SLURM) — no "
+                        "explicit rendezvous flags needed")
     p.add_argument("--coordinator_address", default=None,
                    help="host:port of process 0 — joins a multi-host "
                         "jax.distributed run (DCN); the reference's "
                         "init_process_group rendezvous "
-                        "(train_rcmvsnet.py:503-505). On TPU pods the "
-                        "three flags may be omitted (cluster autodetect).")
+                        "(train_rcmvsnet.py:503-505)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None,
@@ -122,13 +125,22 @@ def main(argv=None):
     args = parse_args(argv)
     config = config_from_args(args)
 
-    if args.coordinator_address or args.num_processes:
+    if (args.multihost or args.coordinator_address is not None
+            or args.num_processes is not None
+            or args.process_id is not None):
+        # partial flag sets fall through to jax's own validation/autodetect
         initialize_multihost(coordinator_address=args.coordinator_address,
                              num_processes=args.num_processes,
                              process_id=args.process_id)
     n_proc = jax.process_count()
     rank0 = is_main_process()
 
+    if n_proc > 1 and config.run.n_devices not in (None, jax.device_count()):
+        raise SystemExit(
+            f"--n_devices {config.run.n_devices} would subset the global "
+            f"mesh ({jax.device_count()} devices) in a {n_proc}-process "
+            "run, stranding other processes' devices; omit it (each "
+            "process contributes all of its local devices)")
     mesh = make_mesh(config.run.n_devices)
     n_dev = mesh.devices.size
     global_batch = config.run.batch_size * n_dev
@@ -190,6 +202,23 @@ def main(argv=None):
         state, start_epoch = restore_checkpoint(config.run.logdir, state)
         if rank0:
             print(f"resumed at epoch {start_epoch}")
+        if n_proc > 1:
+            # replicate() assembles per-process values with NO cross-process
+            # consistency check; a rank that restored a different (or no)
+            # checkpoint — e.g. non-shared logdirs — would train on silently
+            # inconsistent weights or deadlock on mismatched epoch ranges.
+            from jax.experimental import multihost_utils
+            leaves = jax.tree_util.tree_leaves(state.params)
+            probe = np.array(
+                [float(start_epoch), float(int(state.step))]
+                + [float(np.abs(np.asarray(l)).sum()) for l in leaves[:8]],
+                np.float64)
+            gathered = np.asarray(multihost_utils.process_allgather(probe))
+            if not np.allclose(gathered, gathered[0]):
+                raise SystemExit(
+                    "multi-host --resume restored inconsistent state across "
+                    "processes (epoch/params differ) — all ranks must read "
+                    f"the same logdir checkpoint:\n{gathered}")
 
     train_step = jax.jit(make_train_step(config, steps_per_epoch,
                                          with_images=True))

@@ -33,10 +33,15 @@ def epoch_indices(n: int, epoch: int, shuffle: bool, seed: int,
     if shuffle:
         np.random.RandomState(seed + epoch).shuffle(order)
     if process_count > 1:
-        # pad to a multiple of process_count (DistributedSampler wraps)
         pad = (-n) % process_count
         if pad and not drop_last:
+            # pad to a multiple of process_count (DistributedSampler wraps)
             order = np.concatenate([order, order[:pad]])
+        elif pad:
+            # drop the tail so every process yields the SAME number of
+            # batches — unequal shards would leave one process issuing
+            # collectives with no peer (multi-process deadlock)
+            order = order[:n - (n % process_count)]
         order = order[process_index::process_count]
     return order
 
@@ -62,10 +67,11 @@ class DataLoader:
         self.epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset) // self.process_count
+        n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return (n // self.process_count) // self.batch_size
+        shard = -(-n // self.process_count)  # padded shard (wrap)
+        return -(-shard // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         order = epoch_indices(len(self.dataset), self.epoch, self.shuffle,

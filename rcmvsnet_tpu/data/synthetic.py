@@ -7,8 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from .transforms import IMAGENET_MEAN, IMAGENET_STD
 
 
 def _smooth_texture(rs, h, w, upscale=8):

@@ -25,7 +25,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from ..core.geometry import HIGHEST
@@ -34,11 +33,10 @@ from ..nn.neural_volume import NeuralVolumeNet
 from ..render.rays import RayBatch, build_color_volume, index_point_feature, sample_rays
 from ..render.volume_render import RenderOutput, depth2dist, volumetric_render
 
-# numpy on purpose: module-level jnp.array would initialize the XLA
-# backend at import time, which breaks jax.distributed.initialize (it must
-# run first — cli/train.py multi-host path)
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# numpy constants (from the numpy-only transforms module) on purpose:
+# module-level jnp arrays would initialize the XLA backend at import time,
+# which breaks jax.distributed.initialize (cli/train.py multi-host path)
+from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 
 def unpreprocess(imgs: jnp.ndarray) -> jnp.ndarray:

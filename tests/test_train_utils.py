@@ -58,6 +58,45 @@ def test_loader_batching_and_sharding():
     assert set(allidx.tolist()) == set(range(24))
 
 
+def test_loader_equal_shards_when_indivisible():
+    """n % process_count != 0 must still give every process the SAME
+    number of samples AND batches: an extra batch on one rank would issue
+    collectives with no peer and deadlock a multi-process run.
+    drop_last drops the tail; otherwise the wrap-pad grows it."""
+    from rcmvsnet_tpu.data.loader import DataLoader, epoch_indices
+
+    for n, p in [(23, 2), (23, 4), (25, 4), (27097, 2)]:
+        dropped = [epoch_indices(n, 0, True, 0, pi, p, drop_last=True)
+                   for pi in range(p)]
+        assert len({len(s) for s in dropped}) == 1, (n, p)
+        assert len(dropped[0]) == n // p
+        padded = [epoch_indices(n, 0, True, 0, pi, p, drop_last=False)
+                  for pi in range(p)]
+        assert len({len(s) for s in padded}) == 1, (n, p)
+        assert len(padded[0]) == -(-n // p)
+
+    class DS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    for drop_last in (True, False):
+        counts = set()
+        for pi in range(2):
+            loader = DataLoader(DS(23), batch_size=4, shuffle=True, seed=0,
+                                drop_last=drop_last,
+                                process_index=pi, process_count=2)
+            nb = len(list(loader))
+            assert nb == len(loader), (drop_last, pi)
+            counts.add(nb)
+        assert len(counts) == 1, (drop_last, counts)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import flax.struct
     from rcmvsnet_tpu.train.checkpoint import (latest_epoch,
