@@ -59,41 +59,29 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     batch = make_synthetic_batch(B=1, V=VIEWS, H=H, W=W, ndepth=NDEPTH, seed=0)
 
-    # per-stage (rows, band) from a cheapest-first ladder: the hat
-    # matmul's cost scales with the actual band (measured — no
-    # 128-sublane M-tile padding penalty), so smaller bands win
-    # outright; per-stage coverage picks the first satisfied config
-    # (mirrors cli/eval_dtu.WARP_LADDER)
-    LADDER = [(2, 4), (2, 5), (4, 6), (2, 6), (4, 8), (2, 8), (8, 12),
-              (8, 16), (8, 24)]
+    # per-stage (rows, band) from the drivers' cheapest-first ladder: the
+    # hat matmul's cost scales with the actual band (measured — no
+    # 128-sublane M-tile padding penalty), so smaller bands win outright;
+    # per-stage coverage picks the first satisfied config. Reuses
+    # cli/eval_dtu.pick_fast_path so bench and eval cannot drift (and a
+    # geometry no ladder rung covers disables the fast path instead of
+    # benching a kernel with a violated precondition).
     rows, band, xband = 8, 16, (0, 0, 0)
+    max_bytes = 0
     if on_tpu:
-        from rcmvsnet_tpu.ops.pallas_warp2 import check_group_coverage
-        rows, band, xband = [], [], []
-        for s, sc in [(1, 4), (2, 2), (3, 1)]:
-            h, w = H // sc, W // sc
-            projs = batch["proj_matrices"][f"stage{s}"]
-            for r_try, b_try in LADDER:
-                if h % r_try == 0 and check_group_coverage(
-                        projs, batch["depth_values"], h, w, r_try, b_try):
-                    break
-            else:
-                r_try, b_try = 8, 24
-            rows.append(r_try)
-            band.append(b_try)
-            # smallest 128-multiple x-band whose coverage holds (stage
-            # widths differ 4x, so so does the minimal covering band)
-            xband.append(next(
-                (xb for xb in (128, 256, 384, 512, 640)
-                 if xb < w and check_group_coverage(
-                     projs, batch["depth_values"], h, w, r_try, b_try,
-                     x_band=xb)), 0))
-        rows, band, xband = tuple(rows), tuple(band), tuple(xband)
-        print(f"warp config: rows={rows} band={band} xband={xband}",
-              file=__import__("sys").stderr)
+        import types
+
+        from rcmvsnet_tpu.cli.eval_dtu import pick_fast_path
+        sample = {k: batch[k][0] if k != "proj_matrices" else
+                  {s: v[0] for s, v in batch[k].items()}
+                  for k in ("imgs", "proj_matrices", "depth_values")}
+        max_bytes, band, rows, xband = pick_fast_path(
+            types.SimpleNamespace(no_pallas=False), sample)
+        print(f"warp config: rows={rows} band={band} xband={xband} "
+              f"max_bytes={max_bytes}", file=__import__("sys").stderr)
 
     config = Config(backbone=BackboneConfig(
-        pallas_warp_max_bytes=17 * 1024 * 1024 if on_tpu else 0,
+        pallas_warp_max_bytes=max_bytes,
         pallas_warp_band=band,
         pallas_warp_rows=rows,
         pallas_warp_xband=xband,

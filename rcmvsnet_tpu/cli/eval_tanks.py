@@ -51,9 +51,12 @@ GEO_DEPTH_THRESHOLD = {
     "Auditorium": 0.005, "Ballroom": 0.005, "Courtroom": 0.005,
     "Museum": 0.01, "Palace": 0.005, "Temple": 0.01,
 }
-# native capture resolutions per scene (eval_rcmvsnet_tanks.py:400-412,
-# :460-466): intrinsics in the distributed cam files are expressed at these
-# sizes; inference rescales them to img_wh
+# native capture resolutions per scene, kept ONLY as parity documentation
+# (equality-tested vs the reference tables): the reference's own
+# image_sizes lookup is dead — tanks.py:135 assigns img_w/img_h and never
+# reads them; scale_mvs_input (:106-121) rescales intrinsics from the
+# ACTUAL on-disk image dimensions to img_wh, which is exactly what
+# data/tanks.py does. Nothing at runtime consumes this table.
 IMAGE_SIZES = {
     "Family": (1920, 1080), "Francis": (1920, 1080), "Horse": (1920, 1080),
     "Lighthouse": (2048, 1080), "M60": (2048, 1080), "Panther": (2048, 1080),

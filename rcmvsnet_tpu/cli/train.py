@@ -234,6 +234,7 @@ def main(argv=None):
             train_loader.set_epoch(epoch)
             w_aug = adjust_w_aug(epoch, config.loss.w_aug)
             meter = DictAverageMeter()
+            gstep0 = epoch * steps_per_epoch
             for step_idx, batch in enumerate(train_loader):
                 if args.max_steps and step_idx >= args.max_steps:
                     break
@@ -245,13 +246,13 @@ def main(argv=None):
                 rng, step_rng = jax.random.split(rng)
                 if args.profile_steps and step_idx == 3 and epoch == start_epoch:
                     jax.profiler.start_trace(f"{config.run.logdir}/profile")
-                    profile_until = step_idx + args.profile_steps
+                    profile_until = gstep0 + step_idx + args.profile_steps
                 state, metrics = train_step(state, sharded, step_rng)
                 # host-mirrored step counter: int(state.step) would force
                 # a blocking device sync EVERY step, serializing dispatch
                 # (the optimizer applies exactly one increment per call)
-                gstep = epoch * steps_per_epoch + step_idx + 1
-                if profile_until is not None and step_idx >= profile_until:
+                gstep = gstep0 + step_idx + 1
+                if profile_until is not None and gstep > profile_until:
                     jax.tree_util.tree_map(
                         lambda x: x.block_until_ready(), metrics["loss"])
                     jax.profiler.stop_trace()
@@ -271,6 +272,14 @@ def main(argv=None):
                     print(f"epoch {epoch} step {step_idx}/{steps_per_epoch} "
                           f"loss {host['loss']:.3f} "
                           f"time {host['step_time']:.2f}s")
+            if profile_until is not None:
+                # epoch ended mid-trace (profile_steps > steps left):
+                # flush now rather than record checkpointing + validation
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_until = None
+                print(f"profile trace -> {config.run.logdir}/profile")
             gstep = (epoch + 1) * steps_per_epoch
             if rank0:
                 logger.log("fulltrain", meter.mean(), gstep)

@@ -142,14 +142,14 @@ class _DepthStage(nn.Module):
             return self._tail(cost, (lo, step, D), train, {})
 
         depth_values = depth_volume()
-        if self.use_pallas_warp and not train:
-            from ..ops.pallas_warp import plane_sweep_variance_fast
-            variance = plane_sweep_variance_fast(
-                ref_feat, src_feats, src_projs, ref_proj, depth_values,
-                band=max(self.pallas_band, 16))
-        else:
-            variance, _ = plane_sweep_variance(
-                ref_feat, src_feats, src_projs, ref_proj, depth_values)
+        # non-fused fallback: always the XLA warp+variance. The banded v1
+        # kernel (ops/pallas_warp.py) silently zeros out-of-band taps when
+        # its host-side coverage precondition is unchecked, and this branch
+        # is exactly the one that runs when the fused gate fails for a
+        # non-ladder geometry — correctness over speed here (the drivers'
+        # default shapes always take the fused path above).
+        variance, _ = plane_sweep_variance(
+            ref_feat, src_feats, src_projs, ref_proj, depth_values)
 
         extras = {}
         if want_volume:

@@ -111,12 +111,12 @@ class MultiHeadAttention(nn.Module):
         *lead, L, d_model = q.shape
         split = lambda t, d: jnp.moveaxis(
             t.reshape(*lead, L, self.n_head, d), -2, -3)  # [..., H, L, d]
-        proj = lambda name: nn.Dense(
-            self.n_head * self.d_k, use_bias=False,
+        proj = lambda name, d: nn.Dense(
+            self.n_head * d, use_bias=False,
             kernel_init=torch_kernel_init, dtype=q.dtype, name=name)
-        qh = split(proj("w_qs")(q), self.d_k)
-        kh = split(proj("w_ks")(k), self.d_k)
-        vh = split(proj("w_vs")(v), self.d_v)
+        qh = split(proj("w_qs", self.d_k)(q), self.d_k)
+        kh = split(proj("w_ks", self.d_k)(k), self.d_k)
+        vh = split(proj("w_vs", self.d_v)(v), self.d_v)
         logits = jnp.einsum("...qd,...kd->...qk",
                             qh / np.sqrt(self.d_k), kh)
         if mask is not None:

@@ -15,7 +15,7 @@ def _highest_precision():
     jax.config.update("jax_default_matmul_precision", old)
 
 
-import torch  # noqa: E402
+torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 
