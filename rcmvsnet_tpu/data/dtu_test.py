@@ -56,6 +56,7 @@ class DTUTestDataset:
 
         imgs, proj_matrices = [], []
         depth_values = None
+        s_h = s_w = None
         for i, vid in enumerate(view_ids):
             path = self.datapath / scan / "images_post" / f"{vid:08d}.jpg"
             if not path.exists():
@@ -63,6 +64,15 @@ class DTUTestDataset:
             img = read_image(path)
             intr, extr, depth_min, depth_interval = self._read_cam(scan, vid)
             img, intr = T.scale_mvs_input(img, intr, self.max_w, self.max_h)
+            if i == 0:
+                s_h, s_w = img.shape[:2]
+            elif img.shape[:2] != (s_h, s_w):
+                # align src views to the ref view's standard resolution
+                # (mixed native sizes — reference dtu_test.py:176-196)
+                import cv2
+                intr[0, :] *= s_w / img.shape[1]
+                intr[1, :] *= s_h / img.shape[0]
+                img = cv2.resize(img, (s_w, s_h))
             imgs.append(T.normalize_imagenet(img))
 
             proj = np.zeros((2, 4, 4), np.float32)

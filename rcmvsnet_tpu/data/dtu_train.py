@@ -14,7 +14,6 @@ Layout on disk:
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np

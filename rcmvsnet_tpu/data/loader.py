@@ -35,8 +35,11 @@ def epoch_indices(n: int, epoch: int, shuffle: bool, seed: int,
     if process_count > 1:
         pad = (-n) % process_count
         if pad and not drop_last:
-            # pad to a multiple of process_count (DistributedSampler wraps)
-            order = np.concatenate([order, order[:pad]])
+            # pad to a multiple of process_count by tiling, like torch's
+            # DistributedSampler — order[:pad] alone under-pads when
+            # pad > n (e.g. n=1, p=4), leaving unequal shards
+            order = np.concatenate(
+                [order, np.tile(order, -(-pad // n))[:pad]])
         elif pad:
             # drop the tail so every process yields the SAME number of
             # batches — unequal shards would leave one process issuing
@@ -84,18 +87,43 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancelled = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # iterator (early break / exception): a plain q.put would
+            # block the thread forever and pin prefetch+1 batches alive
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for idxs in batches:
-                    q.put(_stack_tree([self.dataset[int(i)] for i in idxs]))
-            finally:
-                q.put(stop)
+                    batch = _stack_tree([self.dataset[int(i)] for i in idxs])
+                    if not _put(batch):
+                        return
+                _put(stop)
+            except BaseException as exc:  # surface in the consumer —
+                # a swallowed load error would silently truncate the
+                # epoch (and desync collective counts across processes)
+                _put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        "DataLoader worker failed while loading a batch"
+                    ) from item
+                yield item
+        finally:
+            cancelled.set()

@@ -41,12 +41,18 @@ def reduce_points(pts: np.ndarray, dst: float = 0.2,
     order = (np.random.RandomState(seed).permutation(n) if seed is not None
              else np.random.permutation(n))
     tree = cKDTree(pts)
-    neighbors = tree.query_ball_point(pts[order], dst, workers=-1)
-    for i, idx in enumerate(neighbors):
-        pid = order[i]
-        if keep[pid]:
-            keep[idx] = False
-            keep[pid] = True
+    # chunked like reducePts_haa.m's 4e6-point rangesearch loop: one
+    # query_ball_point over a full 20-80M-point fused cloud materializes
+    # an object array of tens of millions of Python lists (many GB)
+    chunk = 4_000_000
+    for c0 in range(0, n, chunk):
+        sel = order[c0:c0 + chunk]
+        neighbors = tree.query_ball_point(pts[sel], dst, workers=-1)
+        for i, idx in enumerate(neighbors):
+            pid = sel[i]
+            if keep[pid]:
+                keep[idx] = False
+                keep[pid] = True
     return pts[keep]
 
 
@@ -127,18 +133,18 @@ def dtu_eval_scans(ply_dir, gt_dir, sets=None, method="mvsnet",
     """
     from scipy.io import loadmat
     from ..core.io import load_ply
-    sets = sets or DTU_EVAL_SETS
+    sets = list(sets) if sets is not None else DTU_EVAL_SETS
     ply_dir, gt_dir = Path(ply_dir), Path(gt_dir)
     per_scan = {}
     for cset in sets:
         data_pts, _ = load_ply(ply_dir / f"{method}{cset:03d}_{light}.ply")
         stl_pts, _ = load_ply(gt_dir / "Points" / "stl" /
                               f"stl{cset:03d}_total.ply")
-        obs = loadmat(str(gt_dir / "ObsMask" / f"ObsMask{cset}_10.mat"))
+        obs_mask, bb, res = load_obs_mask(
+            gt_dir / "ObsMask" / f"ObsMask{cset}_10.mat")
         plane = loadmat(str(gt_dir / "ObsMask" / f"Plane{cset}.mat"))["P"]
         per_scan[cset] = dtu_point_compare(
-            data_pts, stl_pts, obs["ObsMask"], np.asarray(obs["BB"]),
-            float(np.asarray(obs["Res"]).reshape(-1)[0]), plane)
+            data_pts, stl_pts, obs_mask, np.asarray(bb), res, plane)
     acc = float(np.mean([s["acc_mean"] for s in per_scan.values()]))
     comp = float(np.mean([s["comp_mean"] for s in per_scan.values()]))
     return {"per_scan": per_scan, "acc": acc, "comp": comp,

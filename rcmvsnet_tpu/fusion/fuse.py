@@ -13,7 +13,6 @@ Parity targets in /root/reference/eval_rcmvsnet_dtu.py:
 """
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import numpy as np

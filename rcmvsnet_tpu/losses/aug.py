@@ -16,8 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.image import masked_mean, smooth_l1
 from ..ops.sampling import resize_nearest
-
-STAGE_DOWNSCALE = {0: 4, 1: 2, 2: 1}
+from .unsup import STAGE_DOWNSCALE
 
 
 def random_image_mask(key: jax.Array, img: jnp.ndarray, filter_hw):

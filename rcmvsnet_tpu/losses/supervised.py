@@ -37,14 +37,24 @@ def _per_image(metric):
     return wrapped
 
 
+def _masked_mean_or_nan(x, mask):
+    """Mean over masked pixels; NaN when the mask is empty — matching the
+    reference's torch.mean(x[mask]) (utils.py:139-159), which surfaces a
+    degenerate all-masked image instead of scoring it as a perfect 0."""
+    m = mask.astype(x.dtype)
+    cnt = m.sum()
+    return jnp.where(cnt > 0, (x * m).sum() / jnp.maximum(cnt, 1.0),
+                     jnp.nan)
+
+
 @_per_image
 def thres_metric(depth_est, depth_gt, mask, thres):
     """Fraction of masked pixels with error > thres (per-image mean)."""
     err_over = (jnp.abs(depth_est - depth_gt) > thres).astype(jnp.float32)
-    return masked_mean(err_over, mask)
+    return _masked_mean_or_nan(err_over, mask)
 
 
 @_per_image
 def abs_depth_error_metric(depth_est, depth_gt, mask):
     """Mean |err| over masked pixels (per-image mean)."""
-    return masked_mean(jnp.abs(depth_est - depth_gt), mask)
+    return _masked_mean_or_nan(jnp.abs(depth_est - depth_gt), mask)

@@ -17,7 +17,6 @@ Parity targets:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..core.geometry import HIGHEST

@@ -96,6 +96,48 @@ def test_loader_equal_shards_when_indivisible():
             counts.add(nb)
         assert len(counts) == 1, (drop_last, counts)
 
+    # wrap-pad must TILE when pad > n (torch DistributedSampler semantics):
+    # n=1, p=4 would otherwise give two processes zero samples
+    shards = [epoch_indices(1, 0, False, 0, pi, 4, drop_last=False)
+              for pi in range(4)]
+    assert [len(s) for s in shards] == [1, 1, 1, 1]
+
+
+def test_loader_worker_errors_propagate_and_early_break_cancels():
+    import threading
+    import time
+
+    from rcmvsnet_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("corrupt sample")
+            return {"x": np.zeros((2,), np.float32)}
+
+    loader = DataLoader(Bad(), batch_size=1, shuffle=False, prefetch=1)
+    with np.testing.assert_raises(RuntimeError):
+        list(loader)  # must NOT silently truncate the epoch at sample 3
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.zeros((2,), np.float32)}
+
+    before = threading.active_count()
+    for _ in range(4):
+        it = iter(DataLoader(Slow(), batch_size=1, prefetch=1))
+        next(it)
+        it.close()  # abandon mid-epoch: the worker must not block forever
+    time.sleep(1.5)
+    assert threading.active_count() <= before + 1, (
+        "abandoned prefetch workers did not exit")
+
 
 def test_checkpoint_roundtrip(tmp_path):
     import flax.struct
