@@ -34,7 +34,15 @@ def reduce_points(pts: np.ndarray, dst: float = 0.2,
     seed defaults to 0 so published acc/comp numbers are reproducible
     run-to-run (the MATLAB original uses an unseeded randperm; pass
     seed=None to reproduce that wobble deliberately).
+
+    Uses the multithreaded C++ KD-tree (native/mvs_native.cpp) when it
+    builds; the scipy path below is the always-available fallback.
     """
+    native = _native_lib()
+    if native is not None:
+        from ..native import reduce_points as native_reduce
+        return native_reduce(np.ascontiguousarray(pts, np.float64), dst,
+                             seed).astype(pts.dtype)
     from scipy.spatial import cKDTree
     n = pts.shape[0]
     keep = np.ones(n, bool)
@@ -56,10 +64,27 @@ def reduce_points(pts: np.ndarray, dst: float = 0.2,
     return pts[keep]
 
 
+def _native_lib():
+    """The optional C++ acceleration (lazy: native imports this module as
+    ITS fallback, so the import must not happen at module scope)."""
+    try:
+        from ..native import load
+        return load()
+    except Exception:
+        return None
+
+
 def nn_distances(query: np.ndarray, ref: np.ndarray,
                  max_dist: float = 60.0) -> np.ndarray:
     """Distance from each query point to its nearest ref point, capped at
-    max_dist (MaxDistCP.m semantics: out-of-range → max_dist)."""
+    max_dist (MaxDistCP.m semantics: out-of-range → max_dist). Runs the
+    multithreaded C++ KD-tree when available, scipy otherwise."""
+    native = _native_lib()
+    if native is not None:
+        from ..native import nn_distances as native_nn
+        return native_nn(np.ascontiguousarray(query, np.float64),
+                         np.ascontiguousarray(ref, np.float64),
+                         max_dist).astype(np.float32)
     from scipy.spatial import cKDTree
     tree = cKDTree(ref)
     d, _ = tree.query(query, k=1, distance_upper_bound=max_dist, workers=-1)

@@ -195,8 +195,11 @@ class CascadeMVSNet(nn.Module):
     cr_base_chs: Sequence[int] = (8, 8, 8)
     base_channels: int = 8
     grad_detach: bool = True  # grad_method='detach'
-    # TPU eval fast path: Pallas hat-matmul warp (ops/pallas_warp.py) for
-    # stages whose bf16 source feature map fits VMEM. 0 disables.
+    # TPU eval fast path: the fully fused planes-mode warp+variance kernel
+    # (ops/pallas_warp2.py, lanes layout straight into the cost
+    # regularizer) for stages whose bf16 source feature map fits VMEM.
+    # 0 disables. Stages that fail the fused gate fall back to the XLA
+    # warp — never to a Pallas kernel with an unchecked precondition.
     pallas_warp_max_bytes: int = 0
     # y-band rows per row group; smaller = faster, must satisfy the
     # coverage precondition (check_band_coverage / check_group_coverage

@@ -86,8 +86,12 @@ def nn_distances(query: np.ndarray, ref: np.ndarray, max_dist: float = 60.0,
 
 
 def reduce_points(pts: np.ndarray, dst: float = 0.2,
-                  seed: Optional[int] = None) -> np.ndarray:
-    """Stochastic thinning (reducePts_haa.m): returns the kept subset."""
+                  seed: Optional[int] = 0) -> np.ndarray:
+    """Stochastic thinning (reducePts_haa.m): returns the kept subset.
+
+    seed defaults to 0 (like fusion/dtu_eval.reduce_points) so published
+    acc/comp numbers are reproducible; seed=None for the MATLAB original's
+    unseeded randperm behavior."""
     lib = load()
     pts = np.ascontiguousarray(pts, np.float64)
     if lib is None:
@@ -107,8 +111,9 @@ def mesh_supersample(verts: np.ndarray, tris: np.ndarray,
                      thresh: float) -> np.ndarray:
     """Vertices + barycentric-grid interior points of every triangle.
 
-    verts: [N, 3] float; tris: [M, 3] int (0-based). Requires the native
-    library (no pure-python fallback — it would be orders slower)."""
+    verts: [N, 3] float; tris: [M, 3] int (0-based). Falls back to a
+    pure-numpy per-triangle loop when the native library can't build —
+    correct but orders of magnitude slower on real DTU meshes."""
     lib = load()
     verts = np.ascontiguousarray(verts, np.float64)
     tris = np.ascontiguousarray(tris, np.int32)

@@ -44,8 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from .pallas_conv3d import _round_up  # shared lane/tile rounding
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,8 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from .pallas_conv3d import _round_up  # shared lane/tile rounding
 
 
 def _tail_kernel(cost_ref, dv_a, dv_b, depth_ref, conf_ref, *,
@@ -91,12 +90,18 @@ def _tail_single(cost: jnp.ndarray, depth_values, lane_tile: int,
         dv_spec = pl.BlockSpec((1, L), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
     else:
-        d_a = d_b = jnp.pad(
+        d_a = jnp.pad(
             depth_values.reshape(D, lanes).astype(jnp.float32),
             ((0, 0), (0, pad)))
+        # dv_b is only read in planes mode — stream a 1-row dummy instead
+        # of a second full [D, L] copy of the depth volume per tile
+        d_b = jnp.zeros((1, n_tiles * L), jnp.float32)
         dv_spec = pl.BlockSpec((D, L), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
 
+    dv_b_spec = (dv_spec if planes_mode else
+                 pl.BlockSpec((1, L), lambda i: (0, i),
+                              memory_space=pltpu.VMEM))
     kern = functools.partial(_tail_kernel, ndepth=D,
                              planes_mode=planes_mode)
     depth, conf = pl.pallas_call(
@@ -105,7 +110,7 @@ def _tail_single(cost: jnp.ndarray, depth_values, lane_tile: int,
         in_specs=[
             pl.BlockSpec((D, L), lambda i: (0, i), memory_space=pltpu.VMEM),
             dv_spec,
-            dv_spec,
+            dv_b_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, L), lambda i: (0, i), memory_space=pltpu.VMEM),

@@ -18,11 +18,17 @@ long-context attention). This kernel restructures the warp as MXU work:
 
 The y-band (static BAND rows) must cover each 8-row group's source-y
 spread. This is a HOST-SIDE PRECONDITION, not an in-kernel fallback: the
-kernel silently zeros out-of-band taps when violated. Callers must gate the
-fast path with `check_band_coverage(...)` once per scan/shape (drivers do:
-cli/eval_dtu.py pick_fast_path) and use the gather path (ops/warp.py)
-otherwise — keeping both paths inside one jit behind lax.cond would double
-peak HBM, so path selection happens before tracing.
+kernel silently zeros out-of-band taps when violated. Callers must gate
+with `check_band_coverage(...)` once per scan/shape and use the gather
+path (ops/warp.py) otherwise — keeping both paths inside one jit behind
+lax.cond would double peak HBM, so path selection happens before tracing.
+
+NOTE: this v1 kernel is a library/profiling op (scripts/profile_*) — no
+production path calls it anymore. The cascade's fused eval path uses the
+v2 lanes kernel (ops/pallas_warp2.py, gated by the drivers'
+check_group_coverage via cli/eval_dtu.pick_fast_path), and its non-fused
+fallback is always the XLA warp, precisely because this kernel's
+precondition cannot be checked from inside jit.
 
 Parity target: homo_warping (/root/reference/models/modules.py:304-339) and
 the streamed variance of /root/reference/models/casmvsnet.py:68-100.

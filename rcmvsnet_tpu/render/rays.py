@@ -76,15 +76,17 @@ def sample_rays(key: jax.Array, imgs: jnp.ndarray, pseudo_depth: jnp.ndarray,
         k_norm, (n_rays, n_samples))
     gauss = jnp.sort(gauss, axis=-1)
 
-    # Uniform-stratified half (overwrites rays [N/2:])
+    # Uniform-stratified half (overwrites rays [N//2:] — the reference's
+    # slice, so odd n_rays keeps n_rays//2 gaussian + the rest uniform)
+    half = n_rays // 2
+    n_uni = n_rays - half
     t = jnp.linspace(0.0, 1.0, n_samples)[None]
     uniform = near * (1.0 - t) + far * t
-    half = n_rays // 2
-    uniform = jnp.broadcast_to(uniform, (half, n_samples))
+    uniform = jnp.broadcast_to(uniform, (n_uni, n_samples))
     mids = 0.5 * (uniform[:, 1:] + uniform[:, :-1])
     upper = jnp.concatenate([mids, uniform[:, -1:]], axis=-1)
     lower = jnp.concatenate([uniform[:, :1], mids], axis=-1)
-    t_rand = jax.random.uniform(k_strat, (half, n_samples))
+    t_rand = jax.random.uniform(k_strat, (n_uni, n_samples))
     stratified = lower + (upper - lower) * t_rand
 
     z_vals = jnp.concatenate([gauss[:half], stratified], axis=0)

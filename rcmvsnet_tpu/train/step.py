@@ -36,7 +36,7 @@ from .state import TrainState, make_models, make_optimizer
 
 def make_train_step(config: Config, steps_per_epoch: int,
                     with_images: bool = False):
-    """Returns train_step(state, batch, rng, w_aug) -> (state, metrics).
+    """Returns train_step(state, batch, rng) -> (state, metrics).
 
     with_images adds metrics["images"] — the reference's TensorBoard image
     summaries (train_rcmvsnet.py:365-371,438-440,313-315: masked/unmasked
@@ -47,6 +47,7 @@ def make_train_step(config: Config, steps_per_epoch: int,
       imgs, imgs_aug, center_imgs: [B, V, H, W, 3]
       proj_matrices: {stageK: [B, V, 2, 4, 4]}
       depth_values: [B, Dfull]
+      w_aug: scalar — the epoch's aug-loss weight (adjust_w_aug schedule)
       depth / mask: {stageK: [B, h, w]} (supervised MONITORING only)
       w2cs, c2ws: [B, V, 4, 4]; intrinsics: [B, V, 3, 3]; near_fars: [B, V, 2]
     """

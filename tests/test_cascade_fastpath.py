@@ -10,7 +10,8 @@ import pytest
 from jax.experimental import pallas as pl
 
 from rcmvsnet_tpu.models.cascade import CascadeMVSNet
-from rcmvsnet_tpu.ops import pallas_conv3d, pallas_warp
+from rcmvsnet_tpu.ops import (pallas_conv3d, pallas_costreg, pallas_resample,
+                              pallas_tail, pallas_warp, pallas_warp2)
 from tests.test_models import _dtu_like_inputs
 
 
@@ -22,11 +23,17 @@ def interpret_pallas(monkeypatch):
         kwargs.setdefault("interpret", True)
         return orig(*args, **kwargs)
 
-    monkeypatch.setattr(pallas_warp.pl, "pallas_call", interp)
-    monkeypatch.setattr(pallas_conv3d.pl, "pallas_call", interp)
+    for mod in (pallas_warp, pallas_warp2, pallas_conv3d, pallas_costreg,
+                pallas_resample, pallas_tail):
+        monkeypatch.setattr(mod.pl, "pallas_call", interp)
 
 
-def test_fast_path_matches_default_path():
+def test_fused_fast_path_matches_default_path():
+    """The production TPU eval configuration — fully fused planes-mode
+    warp2 + lanes costreg + planes tail, exactly the gate models/cascade.py
+    takes on the drivers' shapes — vs the XLA base path, in interpret mode.
+    (The v1 banded warp in ops/pallas_warp.py is no longer reachable from
+    the cascade; it stays covered op-level in tests/test_pallas_warp.py.)"""
     imgs, projs, depth_values = _dtu_like_inputs(B=1, V=3, H=64, W=64,
                                                  ndepth=32)
     args = (jnp.asarray(imgs),
@@ -37,12 +44,15 @@ def test_fast_path_matches_default_path():
     variables = base.init(jax.random.PRNGKey(0), *args, train=False)
     ref = base.apply(variables, *args, train=False)
 
+    # coverage precondition holds for the translation-dominant test rig
+    for stage, sc in [("stage1", 4), ("stage2", 2), ("stage3", 1)]:
+        assert pallas_warp2.check_group_coverage(
+            projs[stage], depth_values, 64 // sc, 64 // sc, 4, 8), stage
+
     fast = CascadeMVSNet(ndepths=(8, 8, 8),
                          pallas_warp_max_bytes=32 * 1024 * 1024,
-                         pallas_warp_band=16)
-    # coverage precondition holds for the translation-dominant test rig
-    assert pallas_warp.check_band_coverage(
-        projs["stage1"], depth_values, 16, 16, band=16)
+                         pallas_warp_rows=4, pallas_warp_band=8,
+                         pallas_costreg=True, pallas_tail=True)
     out = fast.apply(variables, *args, train=False)
 
     # bf16 kernel compute ⇒ loose-ish but meaningful depth agreement
@@ -52,6 +62,9 @@ def test_fast_path_matches_default_path():
         rel = np.abs(d_ref - d_out) / np.abs(d_ref).clip(1e-6)
         assert rel.max() < 5e-2, (key, rel.max())
         assert rel.mean() < 5e-3, (key, rel.mean())
+    c_ref = np.asarray(ref["photometric_confidence"])
+    c_out = np.asarray(out["photometric_confidence"])
+    assert np.abs(c_ref - c_out).mean() < 2e-2
 
 
 def test_pallas_costreg_matches_xla_costreg():

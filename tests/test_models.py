@@ -137,6 +137,28 @@ def test_render_net_forward(net_type="v0"):
     assert np.isfinite(np.asarray(result.depth)).all()
 
 
+def test_sample_rays_odd_n_rays():
+    """Odd n_rays must still yield n_rays rows: half gaussian + the REST
+    uniform (reference overwrites rays [N//2:], render_utils.py:212-224),
+    not 2·(n//2) rows followed by an opaque broadcast crash."""
+    import jax
+
+    from rcmvsnet_tpu.render.rays import sample_rays
+
+    H = W = 16
+    imgs = jnp.asarray(RS.rand(2, H, W, 3), jnp.float32)
+    depth = jnp.full((H, W), 60.0, jnp.float32)
+    w2cs = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
+    intr = jnp.asarray([[W, 0, W / 2], [0, W, H / 2], [0, 0, 1]],
+                       jnp.float32)
+    intrinsics = jnp.broadcast_to(intr, (2, 3, 3))
+    near_fars = jnp.broadcast_to(jnp.asarray([40.0, 90.0]), (2, 2))
+    rays = sample_rays(jax.random.PRNGKey(0), imgs, depth, w2cs, w2cs,
+                       intrinsics, near_fars, n_rays=33, n_samples=8)
+    assert rays.z_vals.shape == (33, 8)
+    assert rays.pts_world.shape == (33, 8, 3)
+
+
 def test_render_net_forward_v1_attention():
     """net_type='v1' (Renderer_attention) end-to-end through the branch."""
     test_render_net_forward(net_type="v1")

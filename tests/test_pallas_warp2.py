@@ -54,6 +54,33 @@ def test_matches_xla_variance():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_planes_mode_matches_volume_mode():
+    """depth_planes=(lo, step, D) — the schedule the PRODUCTION fused eval
+    path always uses (models/cascade.py passes (lo, step, D), never a
+    [D, h, w] volume) — must equal the volume-mode kernel bit-for-close on
+    the same linear hypotheses, dense and banded."""
+    feats, projs, dv, pairs, dvals = _setup()
+    V, H, W, C = feats.shape
+    D = dv.shape[0]
+    lay = make_layout(H, W, 512)
+    lo = jnp.broadcast_to(dvals[0, 0], (H, W)).astype(jnp.float32)
+    step = jnp.broadcast_to((dvals[0, -1] - dvals[0, 0]) / (D - 1),
+                            (H, W)).astype(jnp.float32)
+
+    for rows, band in [(4, 8), (8, 16), (2, 8)]:
+        if not check_group_coverage(pairs, dv[None], H, W, rows, band):
+            continue
+        kw = dict(rows_per_step=rows, band=band,
+                  compute_dtype=jnp.float32, out_dtype=jnp.float32,
+                  interpret=True)
+        vol = plane_sweep_variance_lanes(feats, projs, dv, lay, **kw)
+        planes = plane_sweep_variance_lanes(
+            feats, projs, None, lay, depth_planes=(lo, step, D), **kw)
+        np.testing.assert_allclose(np.asarray(planes), np.asarray(vol),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"rows={rows} band={band}")
+
+
 def test_borders_and_margins_zero():
     feats, projs, dv, _, _ = _setup()
     V, H, W, C = feats.shape
