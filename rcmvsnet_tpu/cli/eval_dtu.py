@@ -105,27 +105,85 @@ WARP_LADDER = [(2, 4), (2, 5), (4, 6), (2, 6), (4, 8), (2, 8), (8, 12),
                (8, 16), (8, 24), (8, 32)]
 
 
-def pick_fast_path(args, sample):
-    """Enable the fused Pallas warp when on TPU, not disabled, and the
-    scan's geometry satisfies the kernel's band-coverage precondition.
+PROBE_EXACT_LIMIT = 64  # ≤ this many views: full-depth exact probing
+
+
+def pick_fast_path(args, cams, hw=None):
+    """Enable the fused Pallas warp when on TPU, not disabled, and EVERY
+    probed reference view's geometry satisfies the kernel's band-coverage
+    precondition — the kernel silently zeros out-of-band taps, so a single
+    uncovered view would corrupt its depth map with no error raised.
+
+    cams: list of camera-only samples ({"proj_matrices", "depth_values"},
+    the datasets' sample_cams(i)) covering every view the chosen config
+    will run on; a single full sample also works. hw: input (H, W)
+    (defaults to cams[0]["hw"] or the sample's image shape).
+
+    ≤ PROBE_EXACT_LIMIT views probe all depth planes exactly. More (T&T's
+    hundreds of views) use a 2-plane endpoint probe with a +1-row / wider
+    x-band safety margin: per-pixel source coordinates are linear in
+    1/depth, so each row group's spread is maximal at the endpoint planes
+    (convexity), and the margin absorbs the sub-row floor() jitter of
+    interior planes that the endpoint check can't see.
+
+    Stage-2/3 probes extend the depth hull by the cascade's re-centering
+    window slack: windows around the (unclamped) soft-argmax depth reach
+    up to Σ nd_k/2·ratio_k·interval past [d_min, d_max]
+    (models/cascade.py:300-311, matching the reference's no-clamp window).
+
     Returns (pallas_warp_max_bytes, band, rows, xband) with per-stage
-    tuples picked from WARP_LADDER."""
+    tuples picked cheapest-first from WARP_LADDER; max_bytes 0 disables
+    the fast path entirely (the cascade then runs the XLA warp).
+    """
     if getattr(args, "no_pallas", False) or jax.default_backend() != "tpu":
-        return 0, 24, 8, 0
+        return 0, 24, 8, (0, 0, 0)
     from ..ops.pallas_warp2 import check_group_coverage
-    H, W = sample["imgs"].shape[1:3]
+    if isinstance(cams, dict):
+        cams = [cams]
+    if hw is None:
+        hw = (cams[0]["hw"] if "hw" in cams[0]
+              else cams[0]["imgs"].shape[1:3])
+    H, W = hw
+    exact = len(cams) <= PROBE_EXACT_LIMIT
+
+    csv = lambda s, t: tuple(t(x) for x in s.split(",") if x)
+    ndepths = csv(getattr(args, "ndepths", "48,32,8"), int)
+    ratios = csv(getattr(args, "depth_inter_r", "4,2,1"), float)
+
+    def stage_hull(dv, stage_idx):
+        lo, hi = float(dv[0]), float(dv[-1])
+        interval = (hi - lo) / len(dv)  # cascade divisor: full D
+        ext = sum(ndepths[j] / 2.0 * ratios[j] * interval
+                  for j in range(1, stage_idx + 1))
+        return lo - ext, hi + ext
+
     stages = [("stage1", 4), ("stage2", 2), ("stage3", 1)]
     rows, band, xband = [], [], []
-    for stage, sc in stages:
+    for s_idx, (stage, sc) in enumerate(stages):
         h, w = H // sc, W // sc
-        projs = sample["proj_matrices"][stage][None]
-        dv = sample["depth_values"][None]
+
+        def covered(r, b, xb=None):
+            b_probe = b if exact else b - 1
+            xb_probe = xb if (xb is None or exact) else xb - 128
+            if b_probe < 1 or (xb_probe is not None and xb_probe < 128):
+                return False
+            for cam in cams:
+                dvals = np.asarray(cam["depth_values"])
+                lo, hi = stage_hull(dvals, s_idx)
+                n = len(dvals) if exact else 2
+                dv = np.linspace(lo, hi, n, dtype=np.float32)[None]
+                if not check_group_coverage(
+                        np.asarray(cam["proj_matrices"][stage])[None], dv,
+                        h, w, r, b_probe, x_band=xb_probe):
+                    return False
+            return True
+
         for r_try, b_try in WARP_LADDER:
-            if h % r_try == 0 and check_group_coverage(
-                    projs, dv, h, w, r_try, b_try):
+            if h % r_try == 0 and covered(r_try, b_try):
                 break
         else:
-            print(f"pallas fast path: off ({stage} band coverage)")
+            print(f"pallas fast path: off ({stage} band coverage over "
+                  f"{len(cams)} views)")
             return 0, 24, 8, (0, 0, 0)
         rows.append(r_try)
         band.append(b_try)
@@ -133,11 +191,11 @@ def pick_fast_path(args, sample):
         # widths differ 4x, so so does the band)
         xband.append(next(
             (xb for xb in (128, 256, 384, 512, 640)
-             if xb < w and check_group_coverage(
-                 projs, dv, h, w, r_try, b_try, x_band=xb)), 0))
+             if xb < w and covered(r_try, b_try, xb)), 0))
     rows, band, xband = tuple(rows), tuple(band), tuple(xband)
     print(f"pallas fast path: ON (rows {rows}, band {band}, "
-          f"xband {xband})")
+          f"xband {xband}; probed {len(cams)} views, "
+          f"{'exact' if exact else 'endpoint+margin'})")
     return 17 * 1024 * 1024, band, rows, xband
 
 
@@ -228,11 +286,22 @@ def load_variables(cascade, ckpt_path, sample):
     }
 
 
+def _cams_key(cam_samples):
+    import hashlib
+    h = hashlib.sha1()
+    for c in cam_samples:
+        h.update(np.ascontiguousarray(
+            c["proj_matrices"]["stage1"]).tobytes())
+        h.update(np.ascontiguousarray(c["depth_values"]).tobytes())
+    return h.hexdigest()
+
+
 def save_depth(args, testlist):
     outdir = Path(args.outdir)
     cascade = None
     variables = None
     forward = None
+    cfg_prev = probe_key = None
     S = args.n_devices or jax.local_device_count()
 
     from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
@@ -241,10 +310,22 @@ def save_depth(args, testlist):
                             ndepths=args.numdepth,
                             interval_scale=args.interval_scale,
                             max_h=args.max_h, max_w=args.max_w)
-        if cascade is None:
-            cascade = build_model(args, *pick_fast_path(args, ds[0]))
-            forward = build_forward(cascade, args, ds[0], n_shards=S)
-            variables = load_variables(cascade, args.loadckpt, ds[0])
+        # probe the warp-kernel coverage over EVERY reference view of the
+        # scan (cams-only, no image decode); scans sharing the same rig +
+        # depth ranges (all of DTU) hash identically and skip the re-probe
+        probe_all = (jax.default_backend() == "tpu"
+                     and not getattr(args, "no_pallas", False))
+        cam_samples = ([ds.sample_cams(i) for i in range(len(ds))]
+                       if probe_all else [ds.sample_cams(0)])
+        key = _cams_key(cam_samples)
+        if key != probe_key:
+            probe_key = key
+            cfg = pick_fast_path(args, cam_samples)
+            if cfg != cfg_prev:
+                cfg_prev = cfg
+                cascade = build_model(args, *cfg)
+                forward = build_forward(cascade, args, ds[0], n_shards=S)
+                variables = load_variables(cascade, args.loadckpt, ds[0])
         # pipeline host-side JPEG decode/resize against device compute:
         # chunk k+1 loads on a worker thread while the device runs chunk
         # k (at full DTU resolution the synchronous decode would rival

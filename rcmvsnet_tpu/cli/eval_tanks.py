@@ -125,7 +125,15 @@ def main(argv=None):
         ds = TanksDataset(args.testpath, args.split, nviews=args.num_view,
                           img_wh=img_wh, ndepths=args.numdepth)
         S = args.n_devices or jax.local_device_count()
-        cascade = build_model(args, *pick_fast_path(args, ds[0]))
+        # probe the warp-kernel band coverage over EVERY view of EVERY
+        # scene (cams only, no image decode) — per-scene cameras and depth
+        # ranges differ, and an unprobed view that violates the band would
+        # get silently zeroed warp taps
+        probe_all = (jax.default_backend() == "tpu"
+                     and not getattr(args, "no_pallas", False))
+        cams = ([ds.sample_cams(i) for i in range(len(ds))]
+                if probe_all else [ds.sample_cams(0)])
+        cascade = build_model(args, *pick_fast_path(args, cams))
         forward = build_forward(cascade, args, ds[0], n_shards=S)
         variables = load_variables(cascade, args.loadckpt, ds[0])
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD

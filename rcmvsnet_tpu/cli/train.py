@@ -182,8 +182,11 @@ def main(argv=None):
     train_loader = DataLoader(train_ds, local_batch, shuffle=True,
                               seed=config.run.seed,
                               process_index=pidx, process_count=n_proc)
+    # drop_last whenever the batch axis is sharded: a partial final batch
+    # isn't divisible by the device count (P('data') placement fails), and
+    # in multi-process runs it would desync collective counts
     val_loader = DataLoader(val_ds, local_batch, shuffle=False,
-                            drop_last=n_proc > 1,
+                            drop_last=n_proc > 1 or n_dev > 1,
                             process_index=pidx, process_count=n_proc)
     steps_per_epoch = len(train_loader)
     if args.max_steps:
@@ -239,10 +242,8 @@ def main(argv=None):
                 if args.max_steps and step_idx >= args.max_steps:
                     break
                 t0 = time.time()
-                batch["w_aug"] = np.asarray(w_aug, np.float32)
-                hbatch = {k: v for k, v in batch.items() if k != "w_aug"}
-                sharded = shard_batch(hbatch, mesh)
-                sharded["w_aug"] = jnp.asarray(batch["w_aug"])
+                sharded = shard_batch(batch, mesh)
+                sharded["w_aug"] = jnp.asarray(w_aug, jnp.float32)
                 rng, step_rng = jax.random.split(rng)
                 if args.profile_steps and step_idx == 3 and epoch == start_epoch:
                     jax.profiler.start_trace(f"{config.run.logdir}/profile")
@@ -281,7 +282,11 @@ def main(argv=None):
                 profile_until = None
                 print(f"profile trace -> {config.run.logdir}/profile")
             gstep = (epoch + 1) * steps_per_epoch
-            if rank0:
+            if rank0 and meter.count:
+                # epoch mean over the summary-step SAMPLES (the reference
+                # averages every step, but float()ing metrics each step
+                # forces a device sync that serializes dispatch — see the
+                # gstep comment above)
                 logger.log("fulltrain", meter.mean(), gstep)
                 if (epoch + 1) % config.run.save_freq == 0:
                     # state is fully replicated: rank 0 holds every leaf

@@ -35,9 +35,55 @@ class DTUTestDataset:
                 if len(srcs) < self.nviews:
                     srcs = srcs + [srcs[0]] * (self.nviews - len(srcs))
                 self.metas.append((scan, ref, srcs))
+        self._hw_cache: dict = {}
 
     def __len__(self):
         return len(self.metas)
+
+    def _scan_hw(self, scan):
+        """Native (h, w) of the scan's first image, decoded once per scan
+        and cached — __getitem__ aligns every view to the ref view's
+        resolution, so cams-only probes use the same dims."""
+        if scan not in self._hw_cache:
+            vid = next(r for s, r, _ in self.metas if s == scan)
+            path = self.datapath / scan / "images_post" / f"{vid:08d}.jpg"
+            if not path.exists():
+                path = self.datapath / scan / "images" / f"{vid:08d}.jpg"
+            self._hw_cache[scan] = read_image(path).shape[:2]
+        return self._hw_cache[scan]
+
+    def sample_cams(self, idx):
+        """proj_matrices + depth_values of sample idx WITHOUT decoding its
+        images — cheap enough to probe EVERY reference view's geometry
+        against the Pallas warp kernel's band-coverage precondition
+        (cli/eval_dtu.pick_fast_path). Intrinsics use the scan's cached
+        first-image size, the dims __getitem__ aligns all views to."""
+        scan, ref_view, src_views = self.metas[idx]
+        view_ids = [ref_view] + src_views[: self.nviews - 1]
+        h, w = self._scan_hw(scan)
+        new_h, new_w = T.scaled_mvs_dims(h, w, self.max_w, self.max_h)
+
+        proj_matrices, depth_values = [], None
+        for i, vid in enumerate(view_ids):
+            intr, extr, depth_min, depth_interval = self._read_cam(scan, vid)
+            intr = T.scale_mvs_intrinsics(intr, h, w, new_h, new_w)
+            proj = np.zeros((2, 4, 4), np.float32)
+            proj[0] = extr
+            proj[1, :3, :3] = intr
+            proj_matrices.append(proj)
+            if i == 0:
+                depth_values = np.arange(
+                    depth_min,
+                    depth_interval * (self.ndepths - 0.5) + depth_min,
+                    depth_interval, dtype=np.float32)
+        proj_matrices = np.stack(proj_matrices)
+        stage2 = proj_matrices.copy()
+        stage2[:, 1, :2, :] *= 2
+        stage3 = proj_matrices.copy()
+        stage3[:, 1, :2, :] *= 4
+        return {"proj_matrices": {"stage1": proj_matrices, "stage2": stage2,
+                                  "stage3": stage3},
+                "depth_values": depth_values, "hw": (new_h, new_w)}
 
     def _read_cam(self, scan, vid):
         cam = read_cam_file(self.datapath / scan / "cams" / f"{vid:08d}_cam.txt")

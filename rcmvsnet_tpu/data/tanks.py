@@ -35,9 +35,58 @@ class TanksDataset:
             pair = read_pair_file(self.datapath / split / scan / "pair.txt")
             for ref, srcs in pair:
                 self.metas.append((scan, ref, srcs))
+        self._hw_cache: dict = {}
 
     def __len__(self):
         return len(self.metas)
+
+    def _scan_hw(self, scan):
+        """Native (h, w) of the scene's first image (decoded once per
+        scene and cached) — T&T scenes are single-resolution captures."""
+        if scan not in self._hw_cache:
+            vid = next(r for s, r, _ in self.metas if s == scan)
+            img = read_image(self.datapath / self.split / scan /
+                             "images" / f"{vid:08d}.jpg")
+            self._hw_cache[scan] = img.shape[:2]
+        return self._hw_cache[scan]
+
+    def sample_cams(self, idx):
+        """proj_matrices + depth_values of sample idx WITHOUT decoding its
+        images — cheap per-view geometry for the Pallas warp band-coverage
+        probes (cli/eval_dtu.pick_fast_path), mirroring __getitem__'s
+        intrinsic rescale from the scene's native size to img_wh."""
+        scan, ref_view, src_views = self.metas[idx]
+        view_ids = [ref_view] + src_views[: self.nviews - 1]
+        W, H = self.img_wh
+        h, w = self._scan_hw(scan)
+
+        proj_matrices, depth_values = [], None
+        for i, vid in enumerate(view_ids):
+            cam = read_cam_file(self.datapath / self.split / scan /
+                                "cams_1" / f"{vid:08d}_cam.txt")
+            intr = cam.intrinsics.copy()
+            intr[:2, :] /= 4.0
+            intr[0, :] *= W / w
+            intr[1, :] *= H / h
+            proj = np.zeros((2, 4, 4), np.float32)
+            proj[0] = cam.extrinsics
+            proj[1, :3, :3] = intr
+            proj_matrices.append(proj)
+            if i == 0:
+                depth_min = cam.depth_min
+                depth_max = cam.depth_interval  # line-11 field 2 IS max
+                interval = (depth_max - depth_min) / (self.ndepths - 1)
+                depth_values = np.arange(
+                    depth_min, interval * (self.ndepths - 0.5) + depth_min,
+                    interval, dtype=np.float32)
+        proj_matrices = np.stack(proj_matrices)
+        stage2 = proj_matrices.copy()
+        stage2[:, 1, :2, :] *= 2
+        stage3 = proj_matrices.copy()
+        stage3[:, 1, :2, :] *= 4
+        return {"proj_matrices": {"stage1": proj_matrices, "stage2": stage2,
+                                  "stage3": stage3},
+                "depth_values": depth_values, "hw": (H, W)}
 
     def __getitem__(self, idx):
         scan, ref_view, src_views = self.metas[idx]

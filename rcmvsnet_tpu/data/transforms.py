@@ -106,12 +106,9 @@ def stage_pyramid(img2d: np.ndarray) -> dict:
     }
 
 
-def scale_mvs_input(img: np.ndarray, intrinsics: np.ndarray,
-                    max_w: int, max_h: int, base: int = 32):
-    """Scale to ≤(max_w, max_h), rounded down to a multiple of `base`,
-    updating intrinsics. Matches dtu_test.py:131-148."""
-    import cv2
-    h, w = img.shape[:2]
+def scaled_mvs_dims(h: int, w: int, max_w: int, max_h: int,
+                    base: int = 32):
+    """The (new_h, new_w) scale_mvs_input produces for an (h, w) image."""
     if h > max_h or w > max_w:
         scale = 1.0 * max_h / h
         if scale * w > max_w:
@@ -119,8 +116,24 @@ def scale_mvs_input(img: np.ndarray, intrinsics: np.ndarray,
         new_w, new_h = scale * w // base * base, scale * h // base * base
     else:
         new_w, new_h = 1.0 * w // base * base, 1.0 * h // base * base
+    return int(new_h), int(new_w)
+
+
+def scale_mvs_intrinsics(intrinsics: np.ndarray, h: int, w: int,
+                         new_h: int, new_w: int) -> np.ndarray:
     intrinsics = intrinsics.copy()
     intrinsics[0, :] *= 1.0 * new_w / w
     intrinsics[1, :] *= 1.0 * new_h / h
-    img = cv2.resize(img, (int(new_w), int(new_h)))
+    return intrinsics
+
+
+def scale_mvs_input(img: np.ndarray, intrinsics: np.ndarray,
+                    max_w: int, max_h: int, base: int = 32):
+    """Scale to ≤(max_w, max_h), rounded down to a multiple of `base`,
+    updating intrinsics. Matches dtu_test.py:131-148."""
+    import cv2
+    h, w = img.shape[:2]
+    new_h, new_w = scaled_mvs_dims(h, w, max_w, max_h, base)
+    intrinsics = scale_mvs_intrinsics(intrinsics, h, w, new_h, new_w)
+    img = cv2.resize(img, (new_w, new_h))
     return img, intrinsics

@@ -148,3 +148,23 @@ def test_rm_color_cli(tmp_path):
     xyz2, rgb2 = load_ply(tmp_path / "no_color" / "cloud.ply")
     np.testing.assert_array_equal(xyz2, xyz)
     assert rgb2 is None
+
+
+def test_sample_cams_matches_getitem(synthetic_scan):
+    """sample_cams (the image-decode-free probe path) must reproduce
+    __getitem__'s proj_matrices/depth_values exactly — the kernel
+    band-coverage probe runs on these cams for every view."""
+    import numpy as np
+    from rcmvsnet_tpu.data.dtu_test import DTUTestDataset
+
+    testpath, _ = synthetic_scan
+    ds = DTUTestDataset(testpath, ["scan1"], nviews=4, ndepths=64,
+                        max_h=128, max_w=160)
+    for i in range(len(ds)):
+        full, cams = ds[i], ds.sample_cams(i)
+        for k in ("stage1", "stage2", "stage3"):
+            np.testing.assert_allclose(cams["proj_matrices"][k],
+                                       full["proj_matrices"][k], rtol=1e-6)
+        np.testing.assert_allclose(cams["depth_values"],
+                                   full["depth_values"])
+        assert tuple(cams["hw"]) == full["imgs"].shape[1:3]

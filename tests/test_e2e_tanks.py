@@ -98,3 +98,24 @@ def test_eval_tanks_cli_depth_phase(tmp_path, tanks_scene, monkeypatch):
         assert (outdir / "Family" / "confidence" / f"{v:08d}.pfm").exists()
         assert (outdir / "Family" / "cams" / f"{v:08d}_cam.txt").exists()
         assert (outdir / "Family" / "images" / f"{v:08d}.jpg").exists()
+
+
+def test_tanks_sample_cams_matches_getitem(tanks_scene, monkeypatch):
+    """Image-decode-free cams for the per-view kernel coverage probe must
+    equal __getitem__'s cameras and depth range."""
+    import numpy as np
+    from rcmvsnet_tpu.data import tanks as tanks_data
+    from rcmvsnet_tpu.data.tanks import TanksDataset
+
+    monkeypatch.setattr(tanks_data, "INTERMEDIATE_SCANS", ["Family"])
+    root, _ = tanks_scene
+    ds = TanksDataset(root, "intermediate", nviews=4, img_wh=(160, 128),
+                      ndepths=48)
+    for i in range(len(ds)):
+        full, cams = ds[i], ds.sample_cams(i)
+        for k in ("stage1", "stage2", "stage3"):
+            np.testing.assert_allclose(cams["proj_matrices"][k],
+                                       full["proj_matrices"][k], rtol=1e-6)
+        np.testing.assert_allclose(cams["depth_values"],
+                                   full["depth_values"])
+        assert tuple(cams["hw"]) == full["imgs"].shape[1:3]
