@@ -20,22 +20,31 @@ from .unsup import STAGE_DOWNSCALE
 
 
 def random_image_mask(key: jax.Array, img: jnp.ndarray, filter_hw):
-    """Zero a random (fh, fw) rectangle. img: [B, H, W, C].
+    """Zero a random (fh, fw) rectangle — an independent one per sample.
+
+    img: [B, H, W, C].  The reference runs B=1 per DDP rank so every sample
+    gets its own rectangle (/root/reference/losses/aug_loss.py:7-25 is called
+    per rank); we keep that per-sample diversity at batch_size>1 by splitting
+    the key over the batch axis and vmapping the rectangle draw.
 
     Returns (masked img, filter_mask [B, H, W, C] with 0 inside the hole).
     """
     fh, fw = filter_hw
     B, H, W, C = img.shape
-    kx, ky = jax.random.split(key)
-    x0 = jax.random.randint(kx, (), 0, W - fw)
-    y0 = jax.random.randint(ky, (), 0, H - fh)
     xs = jnp.arange(W)
     ys = jnp.arange(H)
-    inside = ((ys[:, None] >= y0) & (ys[:, None] < y0 + fh)
-              & (xs[None, :] >= x0) & (xs[None, :] < x0 + fw))
-    filter_mask = jnp.where(inside[None, :, :, None], 0.0, 1.0).astype(img.dtype)
-    filter_mask = jnp.broadcast_to(filter_mask, img.shape)
-    return img * filter_mask, filter_mask
+
+    def one(k, im):
+        kx, ky = jax.random.split(k)
+        x0 = jax.random.randint(kx, (), 0, W - fw)
+        y0 = jax.random.randint(ky, (), 0, H - fh)
+        inside = ((ys[:, None] >= y0) & (ys[:, None] < y0 + fh)
+                  & (xs[None, :] >= x0) & (xs[None, :] < x0 + fw))
+        fm = jnp.where(inside[:, :, None], 0.0, 1.0).astype(im.dtype)
+        fm = jnp.broadcast_to(fm, im.shape)
+        return im * fm, fm
+
+    return jax.vmap(one)(jax.random.split(key, B), img)
 
 
 def aug_loss_multi_stage(outputs, pseudo_depth, filter_mask,

@@ -107,6 +107,22 @@ def test_random_image_mask_properties():
     np.testing.assert_array_equal(np.asarray(masked), fm)
 
 
+def test_random_image_mask_per_sample_rectangles():
+    """B>1 must draw an INDEPENDENT rectangle per sample (reference runs
+    B=1 per DDP rank, so each sample gets its own mask — aug_loss.py:7-25)."""
+    B = 6
+    img = jnp.ones((B, 40, 40, 3))
+    masked, fmask = random_image_mask(jax.random.PRNGKey(3), img, (12, 12))
+    fm = np.asarray(fmask)
+    # every sample has exactly one 12x12x3 hole...
+    for b in range(B):
+        assert (fm[b] == 0).sum() == 12 * 12 * 3
+    # ...and the rectangles are not all in the same place
+    holes = {tuple(np.argwhere(fm[b, :, :, 0] == 0)[0]) for b in range(B)}
+    assert len(holes) > 1, "all samples drew the identical rectangle"
+    np.testing.assert_array_equal(np.asarray(masked), fm)
+
+
 def test_aug_loss_hand_computed():
     B, H, W = 1, 8, 8
     pseudo = RS.rand(B, H, W).astype(np.float32) * 10 + 5

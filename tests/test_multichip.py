@@ -94,7 +94,7 @@ def test_batchnorm_axis_name_syncs_stats():
     must produce the same normalized output and running stats as one
     global-batch forward (reference SyncBatchNorm semantics,
     train_rcmvsnet.py:524-525)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from rcmvsnet_tpu.nn.layers import TorchBatchNorm
