@@ -253,7 +253,7 @@ def build_forward(cascade, args, sample, n_shards: int = 1):
     # multi-chip eval is a pure throughput multiplier with no collectives.
     # Replaces the reference's nn.DataParallel inference
     # (/root/reference/eval_rcmvsnet_dtu.py:189).
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
     mesh = Mesh(np.asarray(jax.devices()[:n_shards]), ("batch",))
     sharded = shard_map(_fwd, mesh=mesh,
@@ -284,6 +284,25 @@ def load_variables(cascade, ckpt_path, sample):
         "batch_stats": flax.serialization.from_state_dict(
             template["batch_stats"], stats),
     }
+
+
+def raise_on_warp_violations(outputs, context: str):
+    """Fail loudly if the fused warp kernel reported band-coverage
+    violations (out-of-band taps zeroed → corrupt cost volume). Called on
+    the FIRST chunk of each (scan, config): the probed ladder config is
+    geometry-dependent, not frame-dependent, so one check per scan
+    suffices and later chunks skip the device→host sync."""
+    wv = outputs.get("warp_violations")
+    if wv is None:
+        return
+    n = int(np.asarray(wv).sum())
+    if n:
+        raise RuntimeError(
+            f"warp kernel band-coverage violation on {context}: {n} "
+            f"(view, row-group[, x-tile]) windows truncated in-image "
+            f"taps — the probed (rows, band, xband) config does not "
+            f"cover this geometry. Rerun with --no_pallas, or report "
+            f"the scan so the probe ladder can be extended.")
 
 
 def _cams_key(cam_samples):
@@ -327,22 +346,23 @@ def save_depth(args, testlist):
                 forward = build_forward(cascade, args, ds[0], n_shards=S)
                 variables = load_variables(cascade, args.loadckpt, ds[0])
         # pipeline host-side JPEG decode/resize against device compute:
-        # chunk k+1 loads on a worker thread while the device runs chunk
-        # k (at full DTU resolution the synchronous decode would rival
-        # the device time per chunk)
+        # chunk k+1 loads on worker threads while the device runs chunk
+        # k, with one thread PER VIEW so an S-shard chunk's decodes run
+        # concurrently instead of serializing behind a single worker
         from concurrent.futures import ThreadPoolExecutor
 
-        def load_chunk(i0):
+        def submit_chunk(pool, i0):
             # one reference view per device; the tail chunk repeats its
             # last view to fill the mesh (padded outputs are discarded)
-            return [ds[min(i0 + j, len(ds) - 1)] for j in range(S)]
+            return [pool.submit(ds.__getitem__, min(i0 + j, len(ds) - 1))
+                    for j in range(S)]
 
-        pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(load_chunk, 0)
+        pool = ThreadPoolExecutor(max_workers=max(1, S))
+        pending = submit_chunk(pool, 0)
         for i0 in range(0, len(ds), S):
-            samples = pending.result()
+            samples = [f.result() for f in pending]
             if i0 + S < len(ds):
-                pending = pool.submit(load_chunk, i0 + S)
+                pending = submit_chunk(pool, i0 + S)
             t0 = time.time()
             stack = lambda key: jnp.asarray(
                 np.stack([np.asarray(s[key]) for s in samples]))
@@ -353,6 +373,8 @@ def save_depth(args, testlist):
                               for s in samples]))
                  for k in samples[0]["proj_matrices"]},
                 stack("depth_values"))
+            if i0 == 0:
+                raise_on_warp_violations(outputs, f"{scan} chunk 0")
             depths = np.asarray(outputs["depth"])
             confs = np.asarray(outputs["photometric_confidence"])
             dt = time.time() - t0

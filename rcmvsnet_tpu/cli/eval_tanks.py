@@ -22,7 +22,7 @@ from ..core.io import save_pfm, write_cam_file
 from ..data.tanks import ADVANCED_SCANS, INTERMEDIATE_SCANS, TanksDataset
 from ..fusion.fuse import fuse_scan
 from .eval_dtu import (build_forward, build_model, load_variables,
-                       pick_fast_path)
+                       pick_fast_path, raise_on_warp_violations)
 
 # per-scene fusion hyperparameters, transcribed 1:1 from
 # eval_rcmvsnet_tanks.py:400-440 (intermediate) and :460-491 (advanced);
@@ -139,19 +139,21 @@ def main(argv=None):
         from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD
         import cv2
         # pipeline host-side decode/resize against device compute (the
-        # synchronous 1920x1056 loads would otherwise serialize with it)
+        # synchronous 1920x1056 loads would otherwise serialize with it),
+        # one thread per view so an S-shard chunk decodes concurrently
         from concurrent.futures import ThreadPoolExecutor
 
-        def load_chunk(i0):
+        def submit_chunk(pool, i0):
             # one reference view per device (tail repeats the last view)
-            return [ds[min(i0 + j, len(ds) - 1)] for j in range(S)]
+            return [pool.submit(ds.__getitem__, min(i0 + j, len(ds) - 1))
+                    for j in range(S)]
 
-        pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(load_chunk, 0)
+        pool = ThreadPoolExecutor(max_workers=max(1, S))
+        pending = submit_chunk(pool, 0)
         for i0 in range(0, len(ds), S):
-            samples = pending.result()
+            samples = [f.result() for f in pending]
             if i0 + S < len(ds):
-                pending = pool.submit(load_chunk, i0 + S)
+                pending = submit_chunk(pool, i0 + S)
             t0 = time.time()
             outputs = forward(
                 variables,
@@ -161,6 +163,9 @@ def main(argv=None):
                  for k in samples[0]["proj_matrices"]},
                 jnp.asarray(np.stack([s["depth_values"]
                                       for s in samples])))
+            if i0 == 0:
+                raise_on_warp_violations(
+                    outputs, f"{samples[0]['filename']} chunk 0")
             depths = np.asarray(outputs["depth"])
             confs = np.asarray(outputs["photometric_confidence"])
             dt = time.time() - t0

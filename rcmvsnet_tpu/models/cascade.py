@@ -129,7 +129,7 @@ class _DepthStage(nn.Module):
             xb = self.pallas_warp_xband or None
             if xb is not None and not (xb < w and xb % 128 == 0):
                 xb = None
-            var_lanes = plane_sweep_variance_lanes(
+            var_lanes, wviol = plane_sweep_variance_lanes(
                 None if feat_warp is not None else features[0],
                 projs[0], None, lay,
                 rows_per_step=self.pallas_warp_rows, band=self.pallas_band,
@@ -139,7 +139,13 @@ class _DepthStage(nn.Module):
             cost = CostRegNet(self.base_channels, conv_impl="lanes",
                               name="cost_reg")(
                 var_lanes, train, lanes_dims=(D, h, w, C))
-            return self._tail(cost, (lo, step, D), train, {})
+            # runtime band-coverage violation count ([B]=1): nonzero means
+            # the probed (rows, band, xband) config does NOT cover this
+            # geometry and the variance volume silently lost taps —
+            # drivers check the first frame and fail loudly
+            # (cli/eval_dtu.raise_on_warp_violations)
+            return self._tail(cost, (lo, step, D), train,
+                              {"warp_violations": wviol[None]})
 
         depth_values = depth_volume()
         # non-fused fallback: always the XLA warp+variance. The banded v1
@@ -341,6 +347,13 @@ class CascadeMVSNet(nn.Module):
                 volume_feature = stage_out.pop("volume_feature_no_ref")
             outputs[stage_key] = stage_out
 
+        # aggregate the per-stage warp-kernel violation counters ([B]) into
+        # one top-level count; absent when no stage took the fused path
+        wv = [outputs[f"stage{i + 1}"].pop("warp_violations")
+              for i in range(num_stage)
+              if "warp_violations" in outputs[f"stage{i + 1}"]]
+        if wv:
+            outputs["warp_violations"] = sum(wv)
         outputs["depth"] = outputs[f"stage{num_stage}"]["depth"]
         outputs["photometric_confidence"] = (
             outputs[f"stage{num_stage}"]["photometric_confidence"])

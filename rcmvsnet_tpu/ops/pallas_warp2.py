@@ -32,9 +32,14 @@ regularizer. This kernel does the whole thing in one pass:
     SMEM-resident relative projections (_coords_inkernel) — the
     precomputed px/py fields used through round 2 moved ~2·V·D·h·wp f32
     through HBM and dominated the warp's XLA glue;
-  * the y-band is a HOST-SIDE PRECONDITION like the v1 kernel: callers
-    gate with check_group_coverage (R-row groups, band rows); violations
-    silently zero out-of-band taps.
+  * the y-band is a HOST-SIDE PRECONDITION: callers gate with
+    check_group_coverage (R-row groups, band rows). Unlike the v1 kernel,
+    a violated precondition is NO LONGER silent: the kernel counts every
+    (view, row group[, x-tile]) whose in-image taps escape the clipped
+    band window — the exact per-group condition check_group_coverage
+    tests — and returns the count as a second output. Drivers check it
+    on the first frame of each (scan, config) and fail loudly
+    (cli/eval_dtu.raise_on_warp_violations) instead of corrupting.
 
 Parity targets: homo_warping (/root/reference/models/modules.py:304-339)
 + the streamed variance of /root/reference/models/casmvsnet.py:68-100.
@@ -112,7 +117,7 @@ def _coords_inkernel(proj_ref, depth, v: int, h: int, w: int, wp: int,
 
 
 def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
-                     out_ref, *, views: int, band: int, C: int, h: int,
+                     out_ref, viol_ref, *, views: int, band: int, C: int, h: int,
                      w: int, w_src: int, src_hm: int, src_row0: int,
                      R: int, wp: int, x_band: int | None, x_tile: int,
                      x_align: int, planes_mode: bool, interpret: bool,
@@ -137,12 +142,19 @@ def _warp_var_kernel(proj_ref, dv_a, dv_b, mask_ref, tmpl_ref, src_ref,
     del planes_mode, dv_b  # volume mode only (planes take the per-plane kernel)
     depth = dv_a[0, 0]                                    # [1, lanes]
     row0 = pl.program_id(1) * R
-    var = _group_var(proj_ref, src_ref, depth, row0, mask_ref[0],
-                     views=views, band=band, C=C, h=h, w=w, w_src=w_src,
-                     src_hm=src_hm, src_row0=src_row0, R=R, wp=wp,
-                     x_band=x_band, x_tile=x_tile, x_align=x_align,
-                     interpret=interpret, compute_dtype=compute_dtype)
+    var, viol = _group_var(
+        proj_ref, src_ref, depth, row0, mask_ref[0],
+        views=views, band=band, C=C, h=h, w=w, w_src=w_src,
+        src_hm=src_hm, src_row0=src_row0, R=R, wp=wp,
+        x_band=x_band, x_tile=x_tile, x_align=x_align,
+        interpret=interpret, compute_dtype=compute_dtype)
     out_ref[0] = var.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init_viol():
+        viol_ref[0, 0] = 0
+
+    viol_ref[0, 0] = viol_ref[0, 0] + viol
 
 
 def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
@@ -153,6 +165,13 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
     R-row group): the shared body of the per-group and per-plane
     kernels. `row0` is the (traced) first output row, `mask` the
     row-major [1, R·wp] real-pixel-lane mask.
+
+    Returns (var, viol): viol is an int32 count of (view[, x-tile])
+    instances whose in-image taps escape the clipped band window — the
+    SAME per-group condition check_group_coverage evaluates host-side
+    (last in-image tap min(extent−1, floor(max)+1) beyond window end),
+    so a geometry that passes the probe never fires at runtime, and a
+    violated one is detected instead of silently zero-padded.
 
     BANDED PATH LANE ORDER: `depth` must arrive TILE-MAJOR — lane =
     xt·(R·x_tile) + r·x_tile + u for (row r, padded col xt·x_tile + u).
@@ -187,6 +206,15 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
                       else jnp.concatenate([row, zpad], axis=1))
     ref_b = roll(jnp.concatenate(pieces, axis=1), 1, axis=1)  # [C, lanes]
 
+    viol = jnp.int32(0)
+
+    def _escapes(coords, win_start_f, win, extent):
+        # last in-image nonzero-weight tap beyond the window end — the
+        # exact check_group_coverage._window_ok upper-edge condition
+        last = jnp.minimum(jnp.floor(jnp.max(coords)) + 1.0,
+                           float(extent - 1))
+        return (last > win_start_f + float(win - 1)).astype(jnp.int32)
+
     if not banded_x:
         kx = jax.lax.broadcasted_iota(jnp.int32, (w_src, lanes), 0).astype(
             jnp.float32)
@@ -196,6 +224,7 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
             px, py = _coords_inkernel(proj_ref, depth, v, h, w, wp, row0)
             ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
                             0, h - band)
+            viol = viol + _escapes(py, ymin.astype(jnp.float32), band, h)
             py_rel = py - ymin.astype(jnp.float32)
             hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(py_rel - sub_jf))
             rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C,
@@ -212,7 +241,7 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
             acc_s = acc_s + con
             acc_q = acc_q + con * con
         mean = acc_s / views
-        return (acc_q / views - mean * mean) * mask
+        return (acc_q / views - mean * mean) * mask, viol
 
     n_xt = wp // x_tile
     kx_rel = jax.lax.broadcasted_iota(
@@ -224,6 +253,7 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
                                   tiles=(R, x_tile))
         ymin = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32),
                         0, h - band)
+        viol = viol + _escapes(py, ymin.astype(jnp.float32), band, h)
         # offset the [1, lanes] coords by ymin instead of the [band,
         # lanes] iota: one small op replaces a full-size add
         py_rel = py - ymin.astype(jnp.float32)
@@ -240,6 +270,8 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
                 (jnp.floor(jnp.min(pxt)).astype(jnp.int32) // x_align)
                 * x_align, 0, w_src - x_band)
             xmin = pl.multiple_of(xmin, x_align)
+            viol = viol + _escapes(pxt, xmin.astype(jnp.float32),
+                                   x_band, w)
             rows = src_ref[pl.ds((v * src_hm + src_row0 + ymin) * C,
                                  band * C), pl.ds(xmin, x_band)]
             rows = rows.astype(compute_dtype)          # [band·C, x_band]
@@ -268,11 +300,11 @@ def _group_var(proj_ref, src_ref, depth, row0, mask, *, views: int,
     acc_s = to_rows(acc_s) + ref_b
     acc_q = to_rows(acc_q) + ref_b * ref_b
     mean = acc_s / views
-    return (acc_q / views - mean * mean) * mask
+    return (acc_q / views - mean * mean) * mask, viol
 
 
 def _warp_var_plane_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
-                           out_ref, *, views: int, band: int, C: int,
+                           out_ref, viol_ref, *, views: int, band: int, C: int,
                            h: int, w: int, w_src: int, src_hm: int,
                            src_row0: int, R: int, wp: int,
                            x_band: int | None, x_tile: int, x_align: int,
@@ -293,6 +325,10 @@ def _warp_var_plane_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
     [1, C, lanesp] (the whole plane p = program_id)."""
     p = pl.program_id(0)
 
+    @pl.when(p == 0)
+    def _init_viol():
+        viol_ref[0, 0] = 0
+
     @pl.when(jnp.logical_or(p == 0, p == D + 1))
     def _halo_plane():
         out_ref[0] = jnp.zeros((C, lanesp), out_ref.dtype)
@@ -311,7 +347,7 @@ def _warp_var_plane_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
         def body(g, carry):
             depth = (dv_a[pl.ds(g, 1), :]
                      + didx * dv_b[pl.ds(g, 1), :])       # [1, R·wp]
-            var = _group_var(
+            var, viol = _group_var(
                 proj_ref, src_ref, depth, g * R, mask_ref[0],
                 views=views, band=band, C=C, h=h, w=w, w_src=w_src,
                 src_hm=src_hm, src_row0=src_row0, R=R, wp=wp,
@@ -319,9 +355,10 @@ def _warp_var_plane_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
                 interpret=interpret, compute_dtype=compute_dtype)
             off = pl.multiple_of(head + g * (R * wp), 128)
             out_ref[0, :, pl.ds(off, R * wp)] = var.astype(out_ref.dtype)
-            return carry
+            return carry + viol
 
-        jax.lax.fori_loop(0, n_rg, body, 0)
+        viol_ref[0, 0] = viol_ref[0, 0] + jax.lax.fori_loop(
+            0, n_rg, body, jnp.int32(0))
 
 
 def plane_sweep_variance_lanes(
@@ -332,7 +369,7 @@ def plane_sweep_variance_lanes(
         src2d: jnp.ndarray | None = None, src_meta=None,
         depth_planes=None,
         compute_dtype=jnp.bfloat16, out_dtype=jnp.bfloat16,
-        interpret: bool = False) -> jnp.ndarray:
+        interpret: bool = False):
     """Variance cost volume in the lanes layout, single batch element.
 
     features: [V, h, w, C] (view 0 = reference); projs: [V, 4, 4] K-folded
@@ -340,9 +377,13 @@ def plane_sweep_variance_lanes(
     depth_planes=(lo [h, w], step [h, w], D) for hypotheses linear in
     the plane index (dv = lo + d·step, the cascade's window/linspace
     schedules): D× less depth data streamed, same values bit-for-bit.
-    Returns [D+2, C, lanesp] (lay = make_layout(h, w)) ready for
-    ops.pallas_costreg.costreg_lanes — equal to
-    to_lanes(plane_sweep_variance(...)) up to compute_dtype rounding.
+    Returns ([D+2, C, lanesp], violations): the lanes volume
+    (lay = make_layout(h, w)) ready for ops.pallas_costreg.costreg_lanes
+    — equal to to_lanes(plane_sweep_variance(...)) up to compute_dtype
+    rounding — and an int32 scalar counting band-coverage violations
+    (0 whenever the check_group_coverage precondition holds; nonzero
+    means out-of-band taps were zeroed and the volume is corrupt —
+    callers must fail loudly).
 
     src2d + src_meta=(V, hm, row0, C, w_pad): pre-built row-major source
     (conv2d_cm(out_layout='warp') emits it directly, skipping the NHWC
@@ -350,7 +391,9 @@ def plane_sweep_variance_lanes(
     zeros beyond w. `features` is ignored then and may be None.
 
     PRECONDITION: every (depth, R-row group)'s source-y spread fits the
-    static band for every view — check_group_coverage.
+    static band for every view — check_group_coverage. A violation is
+    detected at runtime via the second output (counted with the same
+    window condition the host probe uses), never silently ignored.
     """
     if src_meta is not None:
         V, src_hm, src_row0, C, w_pad = src_meta
@@ -431,7 +474,7 @@ def plane_sweep_variance_lanes(
         out_block = C * lay.lanesp * np.dtype(out_dtype).itemsize
         vmem = int(min(127 * 1024 * 1024,
                        src_bytes + 2 * out_block + 24 * 1024 * 1024))
-        return pl.pallas_call(
+        vol, viol = pl.pallas_call(
             kern,
             grid=(D + 2,),
             in_specs=[
@@ -445,14 +488,18 @@ def plane_sweep_variance_lanes(
                 pl.BlockSpec(src2d.shape, lambda d: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, C, lay.lanesp),
-                                   lambda d: (d, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((D + 2, C, lay.lanesp),
-                                           out_dtype),
+            out_specs=(pl.BlockSpec((1, C, lay.lanesp),
+                                    lambda d: (d, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 1), lambda d: (0, 0),
+                                    memory_space=pltpu.SMEM)),
+            out_shape=(jax.ShapeDtypeStruct((D + 2, C, lay.lanesp),
+                                            out_dtype),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
             **({"interpret": True} if interpret else {}),
         )(proj_pack, dv_a, dv_b, mask, src2d)
+        return vol, viol[0, 0]
 
     dv_a = dv_lanes(depth_values).reshape(D, n_rg, 1, R * wp)
     dv_b = dv_a     # aliased dummy (unused in volume mode)
@@ -475,7 +522,7 @@ def plane_sweep_variance_lanes(
         planes_mode=False, interpret=interpret,
         compute_dtype=compute_dtype)
     vmem = int(min(127 * 1024 * 1024, src_bytes + 28 * 1024 * 1024))
-    return pl.pallas_call(
+    vol, viol = pl.pallas_call(
         kern,
         grid=(D, n_rg),
         in_specs=[
@@ -488,12 +535,16 @@ def plane_sweep_variance_lanes(
             pl.BlockSpec(src2d.shape, lambda d, r: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((D + 2, C, lay.lanesp), out_dtype),
+        out_specs=(out_spec,
+                   pl.BlockSpec((1, 1), lambda d, r: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((D + 2, C, lay.lanesp), out_dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.int32)),
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         **({"interpret": True} if interpret else {}),
     )(proj_pack, dv_a, dv_b, mask, template, src2d)
+    return vol, viol[0, 0]
 
 
 def check_group_coverage(proj_pairs, depth_values, height, width,

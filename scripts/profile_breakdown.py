@@ -113,7 +113,8 @@ def main():
         @jax.jit
         def run_warp2(features, projs, dv):
             return plane_sweep_variance_lanes(
-                features[0], projs[0], dv[0], lay, rows_per_step=4, band=8)
+                features[0], projs[0], dv[0], lay, rows_per_step=4,
+                band=8)[0]
         t = timeit(run_warp2, features, projs, dv)
         print(f"stage{si+1} fused warp+var lanes [D={nd} {h}x{w} C={C}]: "
               f"{t:.1f} ms")

@@ -111,3 +111,43 @@ def test_eval_dtype_bf16_close_to_f32():
     rel = np.abs(d_ref - d_out) / np.abs(d_ref).clip(1e-6)
     # bf16 features through softmax-weighted regression: small depth shift
     assert rel.mean() < 1e-2
+
+
+def test_fused_cascade_surfaces_runtime_violations():
+    """End-to-end runtime detection: a cascade configured with a band that
+    does NOT cover the geometry (the failure mode the >64-view probe
+    heuristic could in principle miss) must surface a nonzero
+    outputs['warp_violations'], and the driver check must fail loudly —
+    never the silent zero-tap corruption of rounds 1-2."""
+    from rcmvsnet_tpu.cli.eval_dtu import raise_on_warp_violations
+
+    imgs, projs, depth_values = _dtu_like_inputs(B=1, V=3, H=64, W=64,
+                                                 ndepth=32)
+    args = (jnp.asarray(imgs),
+            jax.tree_util.tree_map(jnp.asarray, projs),
+            jnp.asarray(depth_values))
+    base = CascadeMVSNet(ndepths=(8, 8, 8))
+    variables = base.init(jax.random.PRNGKey(0), *args, train=False)
+
+    # the good config reports zero and the driver check passes
+    good = CascadeMVSNet(ndepths=(8, 8, 8),
+                         pallas_warp_max_bytes=32 * 1024 * 1024,
+                         pallas_warp_rows=4, pallas_warp_band=8,
+                         pallas_costreg=True, pallas_tail=True)
+    out = good.apply(variables, *args, train=False)
+    assert int(np.asarray(out["warp_violations"]).sum()) == 0
+    raise_on_warp_violations(out, "good")         # no raise
+
+    # band=2 violates coverage for this rig (asserted op-level in
+    # tests/test_pallas_warp2.py) → counted and raised
+    bad = CascadeMVSNet(ndepths=(8, 8, 8),
+                        pallas_warp_max_bytes=32 * 1024 * 1024,
+                        pallas_warp_rows=4, pallas_warp_band=2,
+                        pallas_costreg=True, pallas_tail=True)
+    out = bad.apply(variables, *args, train=False)
+    assert int(np.asarray(out["warp_violations"]).sum()) > 0
+    with pytest.raises(RuntimeError, match="band-coverage violation"):
+        raise_on_warp_violations(out, "bad")
+
+    # absent key (XLA path) is a no-op
+    raise_on_warp_violations({"depth": None}, "xla")
