@@ -5,10 +5,15 @@ Parity targets (/root/reference/matlab_eval/):
   * reducePts_haa.m        — stochastic 0.2 mm thinning via KD-tree
   * MaxDistCP.m            — nearest-neighbor distances capped at 60 mm
   * PointCompareMain.m     — ObsMask (data) + ground-plane (stl) filtering
-  * ComputeStat_web_pt.m   — per-scan means with a 20 mm outlier cut
+  * ComputeStat_web_pt.m   — per-scan mean/var/median with a 20 mm
+                             outlier cut (MATLAB var == ddof=1)
   * compute_mean.m         — acc = mean(MeanData) [data→stl],
                              comp = mean(MeanStl) [stl→data],
                              overall = (acc + comp)/2
+  * compute_var_median.m   — cross-scan var/median summary tables
+                             (summarize_scan_stats)
+  * BaseEval2Obj_web.m     — colored .obj export of both distance-annotated
+                             clouds (base_eval_to_obj)
   * GetUsedSets.m          — the 22 evaluation scans
 
 The KD-tree is scipy's cKDTree by default; the optional C++ extension
@@ -98,13 +103,18 @@ def dtu_point_compare(data_pts: np.ndarray, stl_pts: np.ndarray,
                       res: float = 1.0,
                       ground_plane: Optional[np.ndarray] = None,
                       dst: float = 0.2, max_dist: float = 60.0,
-                      outlier_dist: float = 20.0, seed: int = 0) -> dict:
+                      outlier_dist: float = 20.0, seed: int = 0,
+                      return_detail: bool = False) -> dict:
     """Single-scan acc/comp following PointCompareMain + ComputeStat.
 
     data_pts: [N, 3] reconstructed cloud; stl_pts: [M, 3] GT (assumed
     pre-thinned like the official stl files). obs_mask/bb/res/ground_plane
     come from the DTU ObsMask*.mat / Plane*.mat files (pass None to skip
     the corresponding filtering — useful for synthetic tests).
+
+    return_detail adds the per-point arrays the MATLAB suite stores in its
+    BaseEval .mat (thinned clouds, distances, mask/plane flags) under
+    "detail" — the input of base_eval_to_obj (BaseEval2Obj_web.m).
     """
     data_pts = reduce_points(np.asarray(data_pts, np.float64), dst, seed)
     stl_pts = np.asarray(stl_pts, np.float64)
@@ -132,13 +142,78 @@ def dtu_point_compare(data_pts: np.ndarray, stl_pts: np.ndarray,
     d_stl_sel = d_stl[stl_above]
     d_stl_sel = d_stl_sel[d_stl_sel < outlier_dist]
 
-    return {
+    # MATLAB var is the ddof=1 sample variance; var of one sample is 0
+    # (ComputeStat_web_pt.m:57-58)
+    _var = lambda x: float(np.var(x, ddof=1)) if len(x) > 1 else (
+        0.0 if len(x) else float("nan"))
+    out = {
         "acc_mean": float(np.mean(d_data_sel)) if len(d_data_sel) else float("nan"),
         "acc_median": float(np.median(d_data_sel)) if len(d_data_sel) else float("nan"),
+        "acc_var": _var(d_data_sel),
         "comp_mean": float(np.mean(d_stl_sel)) if len(d_stl_sel) else float("nan"),
         "comp_median": float(np.median(d_stl_sel)) if len(d_stl_sel) else float("nan"),
+        "comp_var": _var(d_stl_sel),
         "n_data": int(len(d_data_sel)), "n_stl": int(len(d_stl_sel)),
     }
+    if return_detail:
+        out["detail"] = {
+            "data_pts": data_pts, "d_data": d_data,
+            "data_in_mask": data_in_mask,
+            "stl_pts": stl_pts, "d_stl": d_stl, "stl_above": stl_above,
+        }
+    return out
+
+
+def summarize_scan_stats(per_scan: dict) -> dict:
+    """Cross-scan summary tables: mean/var/median rows of compute_mean.m
+    and compute_var_median.m (each summary value is the mean of the
+    per-scan statistic; *_overall = (acc + comp)/2)."""
+    rows = list(per_scan.values())
+    mean_of = lambda k: float(np.mean([s[k] for s in rows]))
+    acc, comp = mean_of("acc_mean"), mean_of("comp_mean")
+    var_acc, var_comp = mean_of("acc_var"), mean_of("comp_var")
+    med_acc, med_comp = mean_of("acc_median"), mean_of("comp_median")
+    return {
+        "acc": acc, "comp": comp, "overall": (acc + comp) / 2,
+        "var_acc": var_acc, "var_comp": var_comp,
+        "var_overall": (var_acc + var_comp) / 2,
+        "med_acc": med_acc, "med_comp": med_comp,
+        "med_overall": (med_acc + med_comp) / 2,
+    }
+
+
+def base_eval_to_obj(detail: dict, method: str, cset: int, outdir):
+    """Colored .obj export of the distance-annotated clouds
+    (BaseEval2Obj_web.m): alpha = min(d, 10)/10; in-mask (or above-plane)
+    points ramp red→white with distance, excluded points green→blue.
+    Writes {method}2Stl_{set}.obj (data cloud) and Stl2{method}_{set}.obj
+    (GT cloud); returns both paths. (The MATLAB original embeds a stray
+    space in the first filename — not reproduced.)"""
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    def write(path, pts, dists, included):
+        alpha = np.minimum(np.asarray(dists, np.float64), 10.0) / 10.0
+        inc = np.asarray(included, bool)
+        rgb = np.empty((len(pts), 3))
+        # included: C = [1 0 0]*a + [1 1 1]*(1-a); excluded: [0 1 0]*a + [0 0 1]*(1-a)
+        rgb[inc] = (np.array([1.0, 0.0, 0.0]) * alpha[inc, None]
+                    + np.array([1.0, 1.0, 1.0]) * (1 - alpha[inc, None]))
+        rgb[~inc] = (np.array([0.0, 1.0, 0.0]) * alpha[~inc, None]
+                     + np.array([0.0, 0.0, 1.0]) * (1 - alpha[~inc, None]))
+        with open(path, "w") as f:
+            for p, c in zip(np.asarray(pts, np.float64), rgb):
+                f.write(f"v {p[0]:f} {p[1]:f} {p[2]:f} "
+                        f"{c[0]:f} {c[1]:f} {c[2]:f}\n")
+        return path
+
+    data_obj = write(outdir / f"{method}2Stl_{cset}.obj",
+                     detail["data_pts"], detail["d_data"],
+                     detail["data_in_mask"])
+    stl_obj = write(outdir / f"Stl2{method}_{cset}.obj",
+                    detail["stl_pts"], detail["d_stl"],
+                    detail["stl_above"])
+    return data_obj, stl_obj
 
 
 def load_obs_mask(mat_path):
@@ -170,7 +245,4 @@ def dtu_eval_scans(ply_dir, gt_dir, sets=None, method="mvsnet",
         plane = loadmat(str(gt_dir / "ObsMask" / f"Plane{cset}.mat"))["P"]
         per_scan[cset] = dtu_point_compare(
             data_pts, stl_pts, obs_mask, np.asarray(bb), res, plane)
-    acc = float(np.mean([s["acc_mean"] for s in per_scan.values()]))
-    comp = float(np.mean([s["comp_mean"] for s in per_scan.values()]))
-    return {"per_scan": per_scan, "acc": acc, "comp": comp,
-            "overall": (acc + comp) / 2}
+    return {"per_scan": per_scan, **summarize_scan_stats(per_scan)}
