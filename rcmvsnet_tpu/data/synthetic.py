@@ -86,6 +86,37 @@ def make_synthetic_views(H=64, W=64, V=3, depth0=600.0, seed=0,
             "depth_min": depth0 * 0.8, "depth_max": depth0 * 1.25}
 
 
+def write_synthetic_scan(root, H=128, W=160, V=5, seed=5, depth0=600.0,
+                         baseline=8.0, scan="scan1", cam_steps=192.0):
+    """Materialize a synthetic scene as a DTU-layout scan directory
+    ({scan}/{images,cams,pair.txt}) consumable by DTUTestDataset — the
+    shared recipe behind the e2e eval tests, the verify skill, and the
+    golden-quality checkpoint (scripts/train_synth_golden.py).
+
+    Returns (scan_dir, scene dict from make_synthetic_views)."""
+    import cv2
+    from pathlib import Path
+    from ..core.io import write_cam_file, write_pair_file
+    root = Path(root)
+    scan_dir = root / scan
+    (scan_dir / "images").mkdir(parents=True, exist_ok=True)
+    (scan_dir / "cams").mkdir(exist_ok=True)
+    s = make_synthetic_views(H=H, W=W, V=V, depth0=depth0, seed=seed,
+                             baseline=baseline)
+    for v in range(V):
+        img = (s["images"][v].clip(0, 1) * 255).astype(np.uint8)
+        cv2.imwrite(str(scan_dir / "images" / f"{v:08d}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        write_cam_file(
+            scan_dir / "cams" / f"{v:08d}_cam.txt",
+            s["extrinsics"][v], s["intrinsics"],
+            [s["depth_min"], (s["depth_max"] - s["depth_min"]) / cam_steps,
+             cam_steps, s["depth_max"]])
+    write_pair_file(scan_dir / "pair.txt",
+                    [(v, [u for u in range(V) if u != v]) for v in range(V)])
+    return scan_dir, s
+
+
 def make_synthetic_batch(B=1, V=3, H=64, W=64, ndepth=32, seed=0):
     """Full train-batch pytree in the shape make_train_step expects."""
     scenes = [make_synthetic_views(H, W, V, seed=seed + b) for b in range(B)]

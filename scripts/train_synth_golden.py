@@ -1,0 +1,217 @@
+"""Produce the committed golden-quality artifacts behind
+tests/test_e2e_quality.py and PARITY.md.
+
+No DTU data exists in this environment and the reference's shipped backbone
+checkpoint blob is stripped (/root/reference/pretrain/.MISSING_LARGE_BLOBS),
+so the committed end-to-end quality canary uses a backbone SUPERVISED-
+overfit to the synthetic plane scene (exact GT geometry): any later
+regression in kernels, cascade semantics, fusion, or the metric port moves
+the committed acc/comp and fails the test.
+
+Two phases (run separately so goldens come from the same CPU/XLA-f32 path
+the test uses):
+
+  python scripts/train_synth_golden.py train    # any backend (TPU fast)
+      → tests/golden/backbone_synth.msgpack
+  JAX_PLATFORMS=cpu python scripts/train_synth_golden.py golden
+      → tests/golden/e2e_quality.json
+
+Scene/protocol constants mirror tests/test_e2e_quality.py exactly.
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+GOLDEN_DIR = REPO / "tests" / "golden"
+CKPT = GOLDEN_DIR / "backbone_synth.msgpack"
+GOLDEN_JSON = GOLDEN_DIR / "e2e_quality.json"
+
+# scene + eval protocol (shared with tests/test_e2e_quality.py)
+H, W, V, SEED = 128, 160, 5, 5
+NDEPTH = 64
+PROB_THRES, NUM_CONSISTENT = 0.5, 3
+
+
+def build_samples(tmp):
+    """DTU-layout scan → the 5 per-ref-view eval samples + GT depths."""
+    from rcmvsnet_tpu.data.dtu_test import DTUTestDataset
+    from rcmvsnet_tpu.data.synthetic import write_synthetic_scan
+    _, scene = write_synthetic_scan(tmp, H=H, W=W, V=V, seed=SEED)
+    ds = DTUTestDataset(tmp, ["scan1"], nviews=V, ndepths=NDEPTH,
+                        max_h=H, max_w=W)
+    return ds, scene
+
+
+def train(steps=1200, lr=1e-3):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import flax.serialization
+    from rcmvsnet_tpu.config import Config
+    from rcmvsnet_tpu.losses.supervised import cas_mvsnet_loss
+    from rcmvsnet_tpu.train.state import make_models
+
+    ds, scene = build_samples("/tmp/golden_scan")
+    cascade, _ = make_models(Config())
+
+    # 5 training samples: every view once as reference (the eval protocol)
+    samples = []
+    for i in range(len(ds)):
+        s = ds[i]
+        ref = int(s["filename"].split("/")[-1].split(".")[0]) \
+            if "filename" in s else i
+        gt = scene["depths"][i]
+        depth_ms = {f"stage{k+1}": jnp.asarray(gt[::sc, ::sc][None])
+                    for k, sc in enumerate((4, 2, 1))}
+        mask_ms = {k: jnp.ones_like(v) for k, v in depth_ms.items()}
+        samples.append((
+            jnp.asarray(s["imgs"])[None],
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                   s["proj_matrices"]),
+            jnp.asarray(s["depth_values"])[None], depth_ms, mask_ms))
+
+    variables = jax.jit(lambda r: cascade.init(
+        r, samples[0][0], samples[0][1], samples[0][2], train=True))(
+        jax.random.PRNGKey(0))
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(optax.piecewise_constant_schedule(
+        lr, {int(steps * 0.6): 0.3, int(steps * 0.85): 0.3}))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, imgs, projs, dv, depth_ms, mask_ms):
+        def loss_fn(p):
+            out, mut = cascade.apply(
+                {"params": p, "batch_stats": stats}, imgs, projs, dv,
+                train=True, mutable=["batch_stats"])
+            total, last = cas_mvsnet_loss(out, depth_ms, mask_ms)
+            return total, (mut["batch_stats"], last)
+        (loss, (new_stats, last)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, \
+            opt_state, loss, last
+
+    for it in range(steps):
+        imgs, projs, dv, dms, mms = samples[it % len(samples)]
+        params, stats, opt_state, loss, last = step(
+            params, stats, opt_state, imgs, projs, dv, dms, mms)
+        if it % 100 == 0 or it == steps - 1:
+            print(f"step {it}: loss {float(loss):.4f} "
+                  f"stage3 smooth-l1 {float(last):.4f}", flush=True)
+
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    blob = {"params": jax.device_get(params),
+            "batch_stats": jax.device_get(stats)}
+    CKPT.write_bytes(flax.serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, blob)))
+    print("wrote", CKPT)
+
+
+def run_quality(ckpt_path=None, variables_override=None, forward=None,
+                ds=None, scene=None, return_depths=False):
+    """Shared depth→fusion→metric pipeline (imported by the test and the
+    PARITY study): forward all 5 ref views, geometric-consistency fuse,
+    score against the exact plane GT cloud with the ported DTU metric."""
+    import jax
+    import jax.numpy as jnp
+    from rcmvsnet_tpu.config import Config
+    from rcmvsnet_tpu.fusion.dtu_eval import dtu_point_compare
+    from rcmvsnet_tpu.fusion.fuse import filter_depth_views
+    from rcmvsnet_tpu.train.state import make_models
+    import flax.serialization
+
+    if ds is None:
+        ds, scene = build_samples("/tmp/golden_scan")
+    if forward is None:
+        cascade, _ = make_models(Config())
+        s0 = ds[0]
+        template = jax.eval_shape(
+            lambda r: cascade.init(
+                r, jnp.asarray(s0["imgs"])[None],
+                jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                       s0["proj_matrices"]),
+                jnp.asarray(s0["depth_values"])[None], train=False),
+            jax.random.PRNGKey(0))
+        template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), template)
+        blob = flax.serialization.msgpack_restore(
+            Path(ckpt_path or CKPT).read_bytes())
+        variables = {
+            "params": flax.serialization.from_state_dict(
+                template["params"], blob["params"]),
+            "batch_stats": flax.serialization.from_state_dict(
+                template["batch_stats"], blob["batch_stats"]),
+        }
+        if variables_override is not None:
+            variables = variables_override
+        fwd = jax.jit(lambda v, i, p, d: cascade.apply(
+            v, i, p, d, train=False))
+        forward = lambda i, p, d: fwd(variables, i, p, d)
+
+    depths, confs, intrs, extrs = [], [], [], []
+    for i in range(len(ds)):
+        s = ds[i]
+        out = forward(
+            jnp.asarray(s["imgs"])[None],
+            jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                   s["proj_matrices"]),
+            jnp.asarray(s["depth_values"])[None])
+        depths.append(np.asarray(out["depth"][0], np.float32))
+        confs.append(np.asarray(out["photometric_confidence"][0],
+                                np.float32))
+        pm = np.asarray(s["proj_matrices"]["stage3"])
+        extrs.append(pm[0, 0])
+        intrs.append(pm[0, 1][:3, :3])
+
+    verts = []
+    for ref in range(len(ds)):
+        srcs = [v for v in range(len(ds)) if v != ref]
+        xyz, _, _, _, _ = filter_depth_views(
+            depths[ref], confs[ref], np.zeros((H, W, 3), np.float32),
+            intrs[ref], extrs[ref],
+            [depths[v] for v in srcs], [intrs[v] for v in srcs],
+            [extrs[v] for v in srcs],
+            prob_threshold=PROB_THRES, num_consistent=NUM_CONSISTENT)
+        verts.append(xyz)
+    fused = np.concatenate(verts, axis=0)
+
+    # exact GT cloud: unproject every view's analytic depth map (plane
+    # z = depth0 + tilt·x in world == ref-cam frame)
+    gt_pts = []
+    K = scene["intrinsics"]
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float64),
+                         np.arange(H, dtype=np.float64))
+    pix = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
+    for v in range(V):
+        E = scene["extrinsics"][v]
+        d = scene["depths"][v].reshape(-1).astype(np.float64)
+        cam = (np.linalg.inv(K) @ pix.T) * d
+        world = np.linalg.inv(E) @ np.vstack([cam, np.ones_like(d)[None]])
+        gt_pts.append(world[:3].T)
+    gt = np.concatenate(gt_pts, axis=0)
+
+    metrics = dtu_point_compare(fused, gt, dst=0.2)
+    metrics["n_fused_raw"] = int(len(fused))
+    if return_depths:
+        return metrics, depths, confs, (intrs, extrs)
+    return metrics
+
+
+def golden():
+    metrics = run_quality()
+    GOLDEN_JSON.write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics, indent=2))
+    print("wrote", GOLDEN_JSON)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "train"
+    {"train": train, "golden": golden}[mode]()
