@@ -39,17 +39,18 @@ NDEPTH = 64
 PROB_THRES, NUM_CONSISTENT = 0.5, 3
 
 
-def build_samples(tmp):
+def build_samples(tmp, h=H, w=W, ndepth=NDEPTH):
     """DTU-layout scan → the 5 per-ref-view eval samples + GT depths."""
     from rcmvsnet_tpu.data.dtu_test import DTUTestDataset
     from rcmvsnet_tpu.data.synthetic import write_synthetic_scan
-    _, scene = write_synthetic_scan(tmp, H=H, W=W, V=V, seed=SEED)
-    ds = DTUTestDataset(tmp, ["scan1"], nviews=V, ndepths=NDEPTH,
-                        max_h=H, max_w=W)
+    _, scene = write_synthetic_scan(tmp, H=h, W=w, V=V, seed=SEED)
+    ds = DTUTestDataset(tmp, ["scan1"], nviews=V, ndepths=ndepth,
+                        max_h=h, max_w=w)
     return ds, scene
 
 
-def train(steps=1200, lr=1e-3):
+def train(steps=1200, lr=1e-3, h=H, w=W, ndepth=NDEPTH, out=None,
+          init_ckpt=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -58,15 +59,13 @@ def train(steps=1200, lr=1e-3):
     from rcmvsnet_tpu.losses.supervised import cas_mvsnet_loss
     from rcmvsnet_tpu.train.state import make_models
 
-    ds, scene = build_samples("/tmp/golden_scan")
+    ds, scene = build_samples(f"/tmp/golden_scan_{w}x{h}", h, w, ndepth)
     cascade, _ = make_models(Config())
 
     # 5 training samples: every view once as reference (the eval protocol)
     samples = []
     for i in range(len(ds)):
-        s = ds[i]
-        ref = int(s["filename"].split("/")[-1].split(".")[0]) \
-            if "filename" in s else i
+        s = ds[i]  # metas follow pair.txt order: sample i's ref view is i
         gt = scene["depths"][i]
         depth_ms = {f"stage{k+1}": jnp.asarray(gt[::sc, ::sc][None])
                     for k, sc in enumerate((4, 2, 1))}
@@ -81,6 +80,12 @@ def train(steps=1200, lr=1e-3):
         r, samples[0][0], samples[0][1], samples[0][2], train=True))(
         jax.random.PRNGKey(0))
     params, stats = variables["params"], variables["batch_stats"]
+    if init_ckpt is not None:      # fine-tune (e.g. parity ckpt at DTU res)
+        blob = flax.serialization.msgpack_restore(
+            Path(init_ckpt).read_bytes())
+        params = flax.serialization.from_state_dict(params, blob["params"])
+        stats = flax.serialization.from_state_dict(stats,
+                                                   blob["batch_stats"])
     tx = optax.adam(optax.piecewise_constant_schedule(
         lr, {int(steps * 0.6): 0.3, int(steps * 0.85): 0.3}))
     opt_state = tx.init(params)
@@ -108,11 +113,12 @@ def train(steps=1200, lr=1e-3):
                   f"stage3 smooth-l1 {float(last):.4f}", flush=True)
 
     GOLDEN_DIR.mkdir(exist_ok=True)
+    out = Path(out) if out else CKPT
     blob = {"params": jax.device_get(params),
             "batch_stats": jax.device_get(stats)}
-    CKPT.write_bytes(flax.serialization.msgpack_serialize(
+    out.write_bytes(flax.serialization.msgpack_serialize(
         jax.tree_util.tree_map(np.asarray, blob)))
-    print("wrote", CKPT)
+    print("wrote", out)
 
 
 def run_quality(ckpt_path=None, variables_override=None, forward=None,
@@ -212,6 +218,13 @@ def golden():
     print("wrote", GOLDEN_JSON)
 
 
+def parity_train():
+    """Fine-tune the golden backbone at the DTU bench resolution so the
+    PARITY study (scripts/parity_study.py) runs on meaningful depths."""
+    train(steps=400, lr=3e-4, h=864, w=1152, ndepth=192,
+          out=GOLDEN_DIR / "backbone_parity.msgpack", init_ckpt=CKPT)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "train"
-    {"train": train, "golden": golden}[mode]()
+    {"train": train, "golden": golden, "parity_train": parity_train}[mode]()
