@@ -34,6 +34,10 @@ class BackboneConfig:
     pallas_tail: bool = False
     # eval conv compute dtype ('bfloat16' for TPU speed); None = float32
     eval_dtype: Optional[str] = None
+    # TRAIN conv/feature compute dtype for the backbone ('bfloat16' for
+    # TPU speed; params, BN statistics, variance accumulation, depth
+    # regression, losses and the render branch stay float32). None = f32.
+    train_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

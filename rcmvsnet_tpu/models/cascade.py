@@ -236,6 +236,11 @@ class CascadeMVSNet(nn.Module):
     # and warp bytes; camera geometry, softmax and depth regression stay
     # f32). None keeps float32.
     eval_dtype: str | None = None
+    # train compute dtype for the backbone conv stacks + warp gathers
+    # (mixed precision: params/BN stats/variance accumulation/losses stay
+    # f32 — plane_sweep_variance accumulates Σx/Σx² in f32 regardless of
+    # feature dtype). None keeps float32.
+    train_dtype: str | None = None
     # residual depth refinement head (reference RefineNet — dead code there
     # with refine=False everywhere; functional here)
     refine: bool = False
@@ -263,6 +268,8 @@ class CascadeMVSNet(nn.Module):
 
         if self.eval_dtype is not None and not train:
             imgs = imgs.astype(self.eval_dtype)
+        if self.train_dtype is not None and train:
+            imgs = imgs.astype(self.train_dtype)
         if features_warp is not None and not self.is_initializing():
             feats_flat = None   # warp-layout features skip NHWC entirely
         elif features is not None and not self.is_initializing():

@@ -58,21 +58,27 @@ def plane_sweep_variance(ref_feat: jnp.ndarray, src_feats, src_projs,
         proj_list = [src_projs[:, i] for i in range(src_projs.shape[1])]
     num_views = len(src_list) + 1
 
-    ref_volume = jnp.broadcast_to(ref_feat[:, None], (B, D, H, W, C))
+    # Σx / Σx² accumulate in f32 even for bf16 features (mixed-precision
+    # train path): E[x²] − E[x]² in bf16 cancels catastrophically. The
+    # gathers themselves stay in the feature dtype (half the bytes); the
+    # variance is cast back so downstream convs keep the compute dtype.
+    ref_volume = jnp.broadcast_to(ref_feat[:, None],
+                                  (B, D, H, W, C)).astype(jnp.float32)
     vol_sum = ref_volume
     vol_sq_sum = ref_volume * ref_volume
 
     warped_out = [] if return_warped_srcs else None
     for src_feat, src_proj in zip(src_list, proj_list):
         warped = homo_warp(src_feat, src_proj, ref_proj, depth_values)
-        vol_sum = vol_sum + warped
-        vol_sq_sum = vol_sq_sum + warped * warped
+        wf = warped.astype(jnp.float32)
+        vol_sum = vol_sum + wf
+        vol_sq_sum = vol_sq_sum + wf * wf
         if return_warped_srcs:
             warped_out.append(warped)
 
     mean = vol_sum / num_views
     variance = vol_sq_sum / num_views - mean * mean
-    return variance, warped_out
+    return variance.astype(ref_feat.dtype), warped_out
 
 
 def plane_sweep_variance_no_ref(warped_srcs) -> jnp.ndarray:
@@ -87,7 +93,9 @@ def plane_sweep_variance_no_ref(warped_srcs) -> jnp.ndarray:
     vol_sum = 0.0
     vol_sq_sum = 0.0
     for w in warped_srcs:
-        vol_sum = vol_sum + w
-        vol_sq_sum = vol_sq_sum + w * w
+        wf = w.astype(jnp.float32)   # f32 accumulation (see above)
+        vol_sum = vol_sum + wf
+        vol_sq_sum = vol_sq_sum + wf * wf
     mean = vol_sum / num_views
-    return vol_sq_sum / num_views - mean * mean
+    var = vol_sq_sum / num_views - mean * mean
+    return var.astype(warped_srcs[0].dtype)

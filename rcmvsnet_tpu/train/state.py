@@ -37,7 +37,8 @@ def make_models(config: Config):
         pallas_warp_xband=config.backbone.pallas_warp_xband,
         pallas_costreg=config.backbone.pallas_costreg,
         pallas_tail=config.backbone.pallas_tail,
-        eval_dtype=config.backbone.eval_dtype)
+        eval_dtype=config.backbone.eval_dtype,
+        train_dtype=config.backbone.train_dtype)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
         n_samples=config.render.n_samples,

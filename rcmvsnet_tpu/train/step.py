@@ -83,9 +83,13 @@ def make_train_step(config: Config, steps_per_epoch: int,
             outputs_aug, pseudo_depth, filter_mask, dlossw)
 
         # ---- step C: rendering consistency ----
+        # the render branch runs f32 even under a bf16 backbone
+        # (train_dtype): the volume feature upcast is a no-op at f32 and
+        # keeps ray losses / compositing full-precision otherwise
         result, rnd_mut = render.apply(
             {"params": params["render"], "batch_stats": batch_stats["render"]},
-            volume_feature, pseudo_depth, imgs, batch["w2cs"], batch["c2ws"],
+            volume_feature.astype(jnp.float32), pseudo_depth,
+            imgs.astype(jnp.float32), batch["w2cs"], batch["c2ws"],
             batch["intrinsics"], batch["near_fars"], rng=k_rays, train=True,
             mutable=["batch_stats"])
         img_loss = img2mse(result.rgb, result.target_rgb)
