@@ -1,12 +1,20 @@
 """Benchmark: DTU-protocol eval throughput of the CascadeMVSNet backbone.
 
 Measures depth-maps/sec/chip at 1152×864, 5 views, 192 depth hypotheses —
-the BASELINE.json north-star configuration. Prints ONE JSON line.
+the BASELINE.json north-star configuration — plus the TRAIN step
+(512×640, B=1, 3+1 views, 48/32/8 cascade, the reference schedule at
+/root/reference/train_rcmvsnet.py:38-46) and analytic MFU for both
+(core/flops.py, bf16-peak basis: TPU v5e 197 TFLOP/s). Prints ONE JSON
+line; the train/MFU numbers ride in the same object.
 
 vs_baseline compares against an ESTIMATED reference throughput of
 4.0 depth-maps/s on an RTX 3090 (the reference repo publishes no number —
 BASELINE.md; CasMVSNet-class backbones run ~0.25 s/view at this size on a
 3090). vs_baseline = ours / 4.0, so 2.0 == the "≥2× reference" target.
+
+Env: BENCH_SKIP_TRAIN=1 skips the train-step phase;
+BENCH_TRAIN_F32=1 additionally measures the f32 train step (the bf16
+speedup denominator; slow — two extra compiles).
 """
 from __future__ import annotations
 
@@ -164,12 +172,80 @@ def main():
 
     maps_per_sec = ITERS / elapsed
     assert np.isfinite(np.asarray(depth)).all()
-    print(json.dumps({
+
+    from rcmvsnet_tpu.core.flops import (PEAK_BF16_FLOPS,
+                                         eval_forward_flops,
+                                         train_step_flops)
+    eval_flops = eval_forward_flops(H, W, VIEWS,
+                                    band=band, x_band=xband,
+                                    fused=on_tpu)
+    result = {
         "metric": f"dtu_eval_depth_maps_per_sec_{W}x{H}",
         "value": round(maps_per_sec, 4),
         "unit": "depth-maps/s/chip",
         "vs_baseline": round(maps_per_sec / REF_MAPS_PER_SEC, 4),
-    }))
+        "eval_mfu_bf16_peak": round(
+            eval_flops * maps_per_sec / PEAK_BF16_FLOPS, 4),
+    }
+
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        tH, tW, tV = 512, 640, 4
+        sps_bf16 = bench_train_step(tH, tW, tV, "bfloat16" if on_tpu
+                                    else None)
+        tflops = train_step_flops(tH, tW, tV)
+        result.update({
+            "train_steps_per_sec": round(sps_bf16, 4),
+            "train_mfu_bf16_peak": round(
+                tflops * sps_bf16 / PEAK_BF16_FLOPS, 4),
+            "train_dtype": "bfloat16" if on_tpu else "float32",
+            "train_config": f"{tW}x{tH} B=1 V={tV} D=192 48/32/8",
+        })
+        if os.environ.get("BENCH_TRAIN_F32"):
+            result["train_steps_per_sec_f32"] = round(
+                bench_train_step(tH, tW, tV, None), 4)
+
+    print(json.dumps(result))
+
+
+def bench_train_step(H, W, V, train_dtype, iters=8, warmup=2):
+    """Steady-state full train steps/s (clean + aug + render passes, one
+    fused gradient — train/step.py) on synthetic data at the reference
+    train shapes."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from rcmvsnet_tpu.config import BackboneConfig, Config
+    from rcmvsnet_tpu.data.synthetic import make_synthetic_batch
+    from rcmvsnet_tpu.train.state import create_train_state
+    from rcmvsnet_tpu.train.step import make_train_step
+
+    config = Config(backbone=BackboneConfig(train_dtype=train_dtype))
+    batch = make_synthetic_batch(B=1, V=V, H=H, W=W, ndepth=192, seed=0)
+    state = create_train_state(config, batch, steps_per_epoch=1000,
+                               rng=jax.random.PRNGKey(0))
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(0)
+    train_step = jax.jit(make_train_step(config, steps_per_epoch=1000))
+
+    def run(state, n):
+        probes = []
+        for i in range(n):
+            state, metrics = train_step(state, batch,
+                                        jax.random.fold_in(rng, i))
+            probes.append(metrics["loss"])
+        float(jnp.stack(probes).sum())   # tunnel-safe sync
+        return state
+
+    for _ in range(warmup):
+        state = run(state, 1)
+    t0 = time.perf_counter()
+    run(state, iters)
+    dt = time.perf_counter() - t0
+    print(f"train step ({train_dtype or 'float32'}): "
+          f"{iters / dt:.3f} steps/s", file=sys.stderr)
+    return iters / dt
 
 
 if __name__ == "__main__":

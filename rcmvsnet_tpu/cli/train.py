@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--eval_freq", type=int, default=1)
     p.add_argument("--grad_method", default="detach",
                    choices=["detach", "undetach"])
+    p.add_argument("--train_dtype", default=None,
+                   choices=[None, "bfloat16"],
+                   help="mixed-precision backbone compute (params/BN/"
+                        "losses stay f32); None = float32")
     p.add_argument("--net_type", default="v0", choices=["v0", "v1", "v2"],
                    help="renderer MLP variant (v0 mult-bias / v1 attention "
                         "/ v2 additive)")
@@ -80,6 +84,11 @@ def parse_args(argv=None):
                         "(train_rcmvsnet.py:503-505)")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable sub-pass/U-Net rematerialization (faster "
+                        "when the shapes fit HBM without it; the default "
+                        "remat is what fits the reference 512x640 train "
+                        "config on one chip)")
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap steps/epoch (debug/smoke runs)")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -95,7 +104,8 @@ def config_from_args(a) -> Config:
         backbone=BackboneConfig(ndepths=csv(a.ndepths, int),
                                 depth_intervals_ratio=csv(a.depth_inter_r, float),
                                 cr_base_chs=csv(a.cr_base_chs, int),
-                                grad_detach=a.grad_method == "detach"),
+                                grad_detach=a.grad_method == "detach",
+                                train_dtype=a.train_dtype),
         render=RenderConfig(n_rays=a.n_rays, n_samples=a.n_samples,
                             net_type=a.net_type),
         loss=LossConfig(dlossw=csv(a.dlossw, float), w_aug=a.w_aug),
@@ -108,7 +118,8 @@ def config_from_args(a) -> Config:
                       weight_decay=a.wd,
                       save_freq=a.save_freq, eval_freq=a.eval_freq,
                       seed=a.random_seed, logdir=a.logdir,
-                      summary_freq=a.summary_freq, n_devices=a.n_devices))
+                      summary_freq=a.summary_freq, n_devices=a.n_devices,
+                      remat=not a.no_remat))
 
 
 def _host_image(v):

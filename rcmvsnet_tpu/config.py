@@ -88,6 +88,13 @@ class RunConfig:
     warmup_factor: float = 1.0 / 3.0
     weight_decay: float = 0.0
     batch_size: int = 1          # per device
+    # rematerialize the three training sub-passes (clean/aug/render) and
+    # the heavy conv blocks (FeatureNet, CostRegNet, RenderCostReg) during
+    # backward. Trades ~1/3 recompute FLOPs for fitting the reference train
+    # shapes (512×640, B=1, V=4) in one chip's HBM: without it XLA keeps
+    # every pass's conv residuals live across the fused gradient and the
+    # small-channel (C=8) cost volumes pad 16× in the 128-lane axis.
+    remat: bool = True
     seed: int = 1
     logdir: str = "./rc-mvsnet"
     save_freq: int = 1

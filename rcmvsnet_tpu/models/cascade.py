@@ -77,6 +77,7 @@ class _DepthStage(nn.Module):
     pallas_warp_xband: int = 0   # 0 = dense x contraction
     costreg_impl: str = "xla"
     use_pallas_tail: bool = False
+    remat: bool = False   # nn.remat the cost regularizer under train
 
     @nn.compact
     def __call__(self, features, projs, depth_planes, imgs_stage=None,
@@ -172,8 +173,13 @@ class _DepthStage(nn.Module):
         if impl == "lanes" and not all(
                 d % 8 == 0 for d in variance.shape[1:4]):
             impl = "pallas3d"   # lanes layout needs D/h/w divisible by 8
-        cost = CostRegNet(self.base_channels, conv_impl=impl,
-                          name="cost_reg")(variance, train)
+        # rematerializing the U-Net during backward keeps only its input
+        # volume live across the rest of the pass (the C=8 NDHWC conv
+        # temps pad 16x on TPU — see RunConfig.remat)
+        CR = (nn.remat(CostRegNet, static_argnums=(2,))
+              if self.remat and train else CostRegNet)
+        cost = CR(self.base_channels, conv_impl=impl,
+                  name="cost_reg")(variance, train)
         return self._tail(cost, depth_values, train, extras)
 
     def _tail(self, cost, depth_values, train, extras):
@@ -241,6 +247,9 @@ class CascadeMVSNet(nn.Module):
     # f32 — plane_sweep_variance accumulates Σx/Σx² in f32 regardless of
     # feature dtype). None keeps float32.
     train_dtype: str | None = None
+    # rematerialize FeatureNet + per-stage CostRegNet during the training
+    # backward (RunConfig.remat); no effect on the eval path
+    remat: bool = False
     # residual depth refinement head (reference RefineNet — dead code there
     # with refine=False everywhere; functional here)
     refine: bool = False
@@ -275,8 +284,10 @@ class CascadeMVSNet(nn.Module):
         elif features is not None and not self.is_initializing():
             feats_flat = features
         else:
-            feats_flat = FeatureNet(self.base_channels, num_stage,
-                                    name="feature")(
+            FN = (nn.remat(FeatureNet, static_argnums=(2,))
+                  if self.remat and train else FeatureNet)
+            feats_flat = FN(self.base_channels, num_stage,
+                            name="feature")(
                 imgs.reshape(B * V, H, W, 3), train)
 
         outputs = {}
@@ -344,7 +355,7 @@ class CascadeMVSNet(nn.Module):
                 pallas_warp_rows=per_stage(self.pallas_warp_rows),
                 pallas_warp_xband=per_stage(self.pallas_warp_xband),
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
-                use_pallas_tail=self.pallas_tail,
+                use_pallas_tail=self.pallas_tail, remat=self.remat,
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train,
                 want_volume, feat_warp=feat_warp)

@@ -66,6 +66,7 @@ class RenderingConsistencyNet(nn.Module):
     num_planes: int = 128
     net_type: str = "v0"  # 'v0' mult bias | 'v1' attention | 'v2' additive
     pad: int = 0
+    remat: bool = False   # remat the neural-volume U-Net under train
 
     @nn.compact
     def __call__(self, volume_feature, pseudo_depth, imgs, w2cs, c2ws,
@@ -79,6 +80,7 @@ class RenderingConsistencyNet(nn.Module):
         """
         volume = NeuralVolumeNet(num_planes=self.num_planes,
                                  base_channels=self.volume_channels,
+                                 remat=self.remat,
                                  name="neural_volume")(volume_feature, train)
 
         B, V, H, W, _ = imgs.shape

@@ -21,6 +21,7 @@ from .costreg import RenderCostReg
 class NeuralVolumeNet(nn.Module):
     num_planes: int = 128
     base_channels: int = 8
+    remat: bool = False  # nn.remat the U-Net under train (RunConfig.remat)
 
     @nn.compact
     def __call__(self, volume_feature, train: bool = False):
@@ -28,4 +29,6 @@ class NeuralVolumeNet(nn.Module):
         B, D0, H, W, C = volume_feature.shape
         vol = resize_trilinear(volume_feature, self.num_planes, H, W,
                                align_corners=True)
-        return RenderCostReg(self.base_channels, name="cost_reg_2")(vol, train)
+        RC = (nn.remat(RenderCostReg, static_argnums=(2,))
+              if self.remat and train else RenderCostReg)
+        return RC(self.base_channels, name="cost_reg_2")(vol, train)

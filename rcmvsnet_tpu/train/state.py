@@ -38,7 +38,8 @@ def make_models(config: Config):
         pallas_costreg=config.backbone.pallas_costreg,
         pallas_tail=config.backbone.pallas_tail,
         eval_dtype=config.backbone.eval_dtype,
-        train_dtype=config.backbone.train_dtype)
+        train_dtype=config.backbone.train_dtype,
+        remat=config.run.remat)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
         n_samples=config.render.n_samples,
@@ -48,7 +49,8 @@ def make_models(config: Config):
         volume_channels=config.render.volume_channels,
         num_planes=config.render.num_planes,
         net_type=config.render.net_type,
-        pad=config.render.pad)
+        pad=config.render.pad,
+        remat=config.run.remat)
     return cascade, render
 
 

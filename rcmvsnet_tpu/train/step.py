@@ -55,16 +55,49 @@ def make_train_step(config: Config, steps_per_epoch: int,
     tx, schedule = make_optimizer(config, steps_per_epoch)
     dlossw = tuple(config.loss.dlossw)
 
+    # Pass-level rematerialization (RunConfig.remat): each sub-pass keeps
+    # only its inputs/outputs live across the fused gradient instead of
+    # every conv residual of all three forwards. Composes with the
+    # module-level nn.remat inside the models; together they bound the
+    # backward's peak HBM to ~one U-Net fwd+bwd at a time, which is what
+    # fits the reference 512×640 train shapes in a single chip's HBM.
+    ckpt = jax.checkpoint if config.run.remat else (lambda f: f)
+
+    @ckpt
+    def clean_pass(params_c, stats_c, imgs, projs, dvals):
+        return cascade.apply(
+            {"params": params_c, "batch_stats": stats_c},
+            imgs, projs, dvals,
+            train=True, return_volume=True, mutable=["batch_stats"])
+
+    @ckpt
+    def aug_pass(params_c, stats_c, imgs_aug, projs, dvals):
+        return cascade.apply(
+            {"params": params_c, "batch_stats": stats_c},
+            imgs_aug, projs, dvals, train=True, mutable=["batch_stats"])
+
+    @ckpt
+    def render_pass(params_r, stats_r, volume_feature, pseudo_depth, imgs,
+                    w2cs, c2ws, intrinsics, near_fars, rng):
+        # the render branch runs f32 even under a bf16 backbone
+        # (train_dtype): the volume feature upcast is a no-op at f32 and
+        # keeps ray losses / compositing full-precision otherwise
+        return render.apply(
+            {"params": params_r, "batch_stats": stats_r},
+            volume_feature.astype(jnp.float32), pseudo_depth,
+            imgs.astype(jnp.float32), w2cs, c2ws,
+            intrinsics, near_fars, rng=rng, train=True,
+            mutable=["batch_stats"])
+
     def loss_fn(params, batch_stats, batch, rng):
         k_mask, k_rays = jax.random.split(rng)
         imgs = batch["imgs"]
         B, V, H, W, _ = imgs.shape
 
         # ---- step A: clean pass + photometric self-supervision ----
-        (outputs, volume_feature), cas_mut = cascade.apply(
-            {"params": params["cascade"], "batch_stats": batch_stats["cascade"]},
-            imgs, batch["proj_matrices"], batch["depth_values"],
-            train=True, return_volume=True, mutable=["batch_stats"])
+        (outputs, volume_feature), cas_mut = clean_pass(
+            params["cascade"], batch_stats["cascade"],
+            imgs, batch["proj_matrices"], batch["depth_values"])
         loss_base, unsup_scalars = unsup_loss_multi_stage(
             outputs, batch["center_imgs"], batch["proj_matrices"], dlossw)
         pseudo_depth = jax.lax.stop_gradient(outputs["depth"])
@@ -74,24 +107,17 @@ def make_train_step(config: Config, steps_per_epoch: int,
         ref_masked, filter_mask = random_image_mask(
             k_mask, imgs_aug[:, 0], (H // 3, W // 3))
         imgs_aug = imgs_aug.at[:, 0].set(ref_masked)
-        outputs_aug, cas_mut2 = cascade.apply(
-            {"params": params["cascade"],
-             "batch_stats": cas_mut["batch_stats"]},
-            imgs_aug, batch["proj_matrices"], batch["depth_values"],
-            train=True, mutable=["batch_stats"])
+        outputs_aug, cas_mut2 = aug_pass(
+            params["cascade"], cas_mut["batch_stats"],
+            imgs_aug, batch["proj_matrices"], batch["depth_values"])
         loss_aug, aug_scalars = aug_loss_multi_stage(
             outputs_aug, pseudo_depth, filter_mask, dlossw)
 
         # ---- step C: rendering consistency ----
-        # the render branch runs f32 even under a bf16 backbone
-        # (train_dtype): the volume feature upcast is a no-op at f32 and
-        # keeps ray losses / compositing full-precision otherwise
-        result, rnd_mut = render.apply(
-            {"params": params["render"], "batch_stats": batch_stats["render"]},
-            volume_feature.astype(jnp.float32), pseudo_depth,
-            imgs.astype(jnp.float32), batch["w2cs"], batch["c2ws"],
-            batch["intrinsics"], batch["near_fars"], rng=k_rays, train=True,
-            mutable=["batch_stats"])
+        result, rnd_mut = render_pass(
+            params["render"], batch_stats["render"],
+            volume_feature, pseudo_depth, imgs, batch["w2cs"],
+            batch["c2ws"], batch["intrinsics"], batch["near_fars"], k_rays)
         img_loss = img2mse(result.rgb, result.target_rgb)
         ray_mask = result.rays_depth > 0
         depth_loss = sl1_loss(result.depth, result.rays_depth, ray_mask)

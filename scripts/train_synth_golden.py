@@ -219,9 +219,15 @@ def golden():
 
 
 def parity_train():
-    """Fine-tune the golden backbone at the DTU bench resolution so the
-    PARITY study (scripts/parity_study.py) runs on meaningful depths."""
-    train(steps=400, lr=3e-4, h=864, w=1152, ndepth=192,
+    """Fine-tune the golden backbone at the reference's own TRAIN
+    resolution (512×640 — train_rcmvsnet.py datasets/dtu_train crops) so
+    the PARITY study (scripts/parity_study.py) runs on meaningful depths
+    at the DTU eval resolutions. (Fine-tuning at the 1152×864 EVAL res
+    needs >36G HBM for the f32 supervised backward — the C=8 NDHWC conv
+    temps pad 16× into the 128-lane axis; the conv features transfer
+    across resolution for the plane scene, which is all the parity
+    comparison needs.)"""
+    train(steps=600, lr=3e-4, h=512, w=640, ndepth=192,
           out=GOLDEN_DIR / "backbone_parity.msgpack", init_ckpt=CKPT)
 
 
