@@ -559,12 +559,34 @@ def check_group_coverage(proj_pairs, depth_values, height, width,
     (R, band[, x_band]).
 
     proj_pairs: [B, V, 2, 4, 4]; depth_values: [B, D] or [B, D, H, W].
+
+    The probe is evaluated in chunks of ≤16 depth planes: the per-group
+    window condition reduces over lanes WITHIN each (plane, row group),
+    so chunking over planes is exact — and the full [B, D, H, W]
+    coordinate fields of a 192-plane probe at 1600×1184 (~1.5 GB each,
+    several temporaries) would otherwise exhaust device memory during
+    driver startup.
     """
     from ..core.geometry import compose_projection, linspace_depth_samples
     projs = compose_projection(jnp.asarray(proj_pairs))
-    dv = jnp.asarray(depth_values)
-    if dv.ndim == 2:
-        dv = linspace_depth_samples(dv, dv.shape[1], height, width)
+    dv_in = jnp.asarray(depth_values)
+    chunk = 16
+    D = dv_in.shape[1]
+    for d0 in range(0, D, chunk):
+        dv = dv_in[:, d0:d0 + chunk]
+        if dv.ndim == 2:
+            dv = linspace_depth_samples(dv, dv.shape[1], height, width)
+        if not _check_group_coverage_chunk(
+                projs, dv, height, width, rows_per_step, band,
+                x_band, x_tile, x_align):
+            return False
+    return True
+
+
+def _check_group_coverage_chunk(projs, dv, height, width,
+                                rows_per_step: int, band: int,
+                                x_band: int | None,
+                                x_tile: int, x_align: int) -> bool:
     R = rows_per_step
 
     def _window_ok(coords, extent, win, align):

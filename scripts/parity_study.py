@@ -32,7 +32,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-DEFAULT_CKPT = REPO / "tests" / "golden" / "backbone_parity.msgpack"
+DEFAULT_CKPT = REPO / "tests" / "golden" / "backbone_synth.msgpack"
 V, SEED, NDEPTH = 5, 5, 192
 
 
@@ -175,7 +175,7 @@ def gt_cloud(scene, H, W):
     return np.concatenate(pts, axis=0)
 
 
-def study(W, H, ckpt):
+def study(W, H, ckpt, f32_cpu=False):
     import jax
     import jax.numpy as jnp
     from rcmvsnet_tpu.config import Config
@@ -193,13 +193,28 @@ def study(W, H, ckpt):
     vars_x = load_vars(cascade_x, ckpt, samples[0])
     vars_f = load_vars(cascade_f, ckpt, samples[0])
 
+    # the f32 gather path materializes per-view warped volumes; at
+    # 1600×1184 that exceeds a single chip's HBM, so run the reference
+    # arm on the CPU backend there (bit-identical math, no HBM limit)
+    f32_dev = None
+    if f32_cpu:
+        f32_dev = jax.devices("cpu")[0]
+        vars_x = jax.device_put(vars_x, f32_dev)
+        print("f32 reference arm on CPU backend", flush=True)
+
     d_x, c_x, d_f, c_f = [], [], [], []
     rel_stats = []
     for s in samples:
         imgs = jnp.asarray(s["imgs"])
         projs = jax.tree_util.tree_map(jnp.asarray, s["proj_matrices"])
         dv = jnp.asarray(s["depth_values"])
-        ox = fwd_x(vars_x, imgs, projs, dv)
+        if f32_dev is not None:
+            ox = fwd_x(jax.device_put(vars_x, f32_dev),
+                       jax.device_put(imgs, f32_dev),
+                       jax.device_put(projs, f32_dev),
+                       jax.device_put(dv, f32_dev))
+        else:
+            ox = fwd_x(vars_x, imgs, projs, dv)
         of = fwd_f(vars_f, imgs, projs, dv)
         wv = of.get("warp_violations")
         if wv is not None:
@@ -248,8 +263,15 @@ def study(W, H, ckpt):
             ((m_f["acc_mean"] + m_f["comp_mean"])
              / (m_x["acc_mean"] + m_x["comp_mean"])) - 1.0),
     }
-    print(json.dumps(out, indent=2), flush=True)
+    print(json.dumps(out, indent=2, default=_np_default), flush=True)
     return out
+
+
+def _np_default(o):
+    """json encoder default for numpy scalars (np.int64 etc.)."""
+    if hasattr(o, "item"):
+        return o.item()
+    raise TypeError(f"not JSON serializable: {type(o)}")
 
 
 def main():
@@ -257,12 +279,29 @@ def main():
     ap.add_argument("--ckpt", default=str(DEFAULT_CKPT))
     ap.add_argument("--sizes", default="1152x864,1600x1184")
     ap.add_argument("--out", default=str(REPO / "PARITY_data.json"))
+    ap.add_argument("--f32_cpu", action="store_true",
+                    help="run the f32 reference arm on the CPU backend "
+                         "(fallback if the XLA-f32 path exceeds HBM)")
     args = ap.parse_args()
-    results = []
+    # expose the CPU backend next to the TPU for the big-size f32 arm
+    import jax
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
+    out_path = Path(args.out)
+    results = (json.loads(out_path.read_text())
+               if out_path.exists() else [])
+    done = {r["resolution"] for r in results}
     for size in args.sizes.split(","):
         w, h = (int(t) for t in size.split("x"))
-        results.append(study(w, h, args.ckpt))
-    Path(args.out).write_text(json.dumps(results, indent=2))
+        if f"{w}x{h}" in done:
+            print(f"skip {w}x{h} (already in {out_path.name})", flush=True)
+            continue
+        results.append(study(w, h, args.ckpt, f32_cpu=args.f32_cpu))
+        # incremental write: a crash at a later size keeps earlier results
+        out_path.write_text(
+            json.dumps(results, indent=2, default=_np_default))
     print("wrote", args.out)
 
 
