@@ -221,8 +221,28 @@ def bench_train_step(H, W, V, train_dtype, iters=8, warmup=2):
     from rcmvsnet_tpu.train.state import create_train_state
     from rcmvsnet_tpu.train.step import make_train_step
 
-    config = Config(backbone=BackboneConfig(train_dtype=train_dtype))
     batch = make_synthetic_batch(B=1, V=V, H=H, W=W, ndepth=192, seed=0)
+    # probe the warp ladder on the train geometry: the custom-VJP fused
+    # warp+variance (ops/pallas_warp_train.py) replaces the XLA
+    # gather-warp forward + scatter backward on covered stages
+    wkw = {}
+    if jax.default_backend() == "tpu":
+        import types
+
+        from rcmvsnet_tpu.cli.eval_dtu import pick_fast_path
+        sample = {k: batch[k][0] if k != "proj_matrices" else
+                  {s: v[0] for s, v in batch[k].items()}
+                  for k in ("imgs", "proj_matrices", "depth_values")}
+        max_bytes, band, rows, xband = pick_fast_path(
+            types.SimpleNamespace(no_pallas=False), sample)
+        if max_bytes:
+            wkw = dict(pallas_warp_max_bytes=max_bytes,
+                       pallas_warp_band=band, pallas_warp_rows=rows,
+                       pallas_warp_xband=xband, pallas_warp_train=True)
+        print(f"train warp config: rows={rows} band={band} xband={xband} "
+              f"max_bytes={max_bytes}", file=sys.stderr)
+    config = Config(backbone=BackboneConfig(train_dtype=train_dtype,
+                                            **wkw))
     state = create_train_state(config, batch, steps_per_epoch=1000,
                                rng=jax.random.PRNGKey(0))
     batch = jax.tree_util.tree_map(jnp.asarray, batch)

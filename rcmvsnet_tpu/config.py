@@ -38,6 +38,10 @@ class BackboneConfig:
     # TPU speed; params, BN statistics, variance accumulation, depth
     # regression, losses and the render branch stay float32). None = f32.
     train_dtype: Optional[str] = None
+    # TRAIN fast path: custom-VJP fused warp+variance kernel for
+    # non-want_volume stages (ops/pallas_warp_train.py); gated by the
+    # same pallas_warp_max_bytes/rows/band/xband ladder as eval
+    pallas_warp_train: bool = False
 
 
 @dataclass(frozen=True)

@@ -78,6 +78,11 @@ class _DepthStage(nn.Module):
     costreg_impl: str = "xla"
     use_pallas_tail: bool = False
     remat: bool = False   # nn.remat the cost regularizer under train
+    # TRAIN fast path: the same fused warp+variance kernel wrapped in a
+    # custom VJP (ops/pallas_warp_train.py) — the XLA gather warp's
+    # backward is an HBM-bound scatter; the kernel's is a transposed hat
+    # matmul. Gated like the eval path; want_volume stages fall back.
+    use_pallas_warp_train: bool = False
 
     @nn.compact
     def __call__(self, features, projs, depth_planes, imgs_stage=None,
@@ -148,17 +153,44 @@ class _DepthStage(nn.Module):
             return self._tail(cost, (lo, step, D), train,
                               {"warp_violations": wviol[None]})
 
-        depth_values = depth_volume()
-        # non-fused fallback: always the XLA warp+variance. The banded v1
-        # kernel (ops/pallas_warp.py) silently zeros out-of-band taps when
-        # its host-side coverage precondition is unchecked, and this branch
-        # is exactly the one that runs when the fused gate fails for a
-        # non-ladder geometry — correctness over speed here (the drivers'
-        # default shapes always take the fused path above).
-        variance, _ = plane_sweep_variance(
-            ref_feat, src_feats, src_projs, ref_proj, depth_values)
-
-        extras = {}
+        # differentiable fused warp+variance (train fast path): same
+        # kernel + coverage precondition as eval, custom-VJP backward
+        # (transposed hat matmuls), variance handed to the XLA cost
+        # regularizer in NDHWC. want_volume (train stage 1 of the clean
+        # pass) still needs the warped source volumes → XLA fallback.
+        fused_train = (self.use_pallas_warp_train and train
+                       and not want_volume and feat_warp is None
+                       and B == 1 and D % 8 == 0
+                       and h % self.pallas_warp_rows == 0
+                       and h % 8 == 0 and w % 8 == 0)
+        if fused_train:
+            from ..ops.pallas_costreg import make_layout
+            from ..ops.pallas_warp_train import (
+                lanes_to_ndhwc, plane_sweep_variance_fused_train)
+            lay = make_layout(h, w)
+            xb = self.pallas_warp_xband or None
+            if xb is not None and not (xb < w and xb % 128 == 0):
+                xb = None
+            vol, wviol = plane_sweep_variance_fused_train(
+                features[0], projs[0], (lo[0], step[0], D),
+                rows_per_step=self.pallas_warp_rows,
+                band=self.pallas_band, x_band=xb,
+                compute_dtype=features.dtype, out_dtype=features.dtype)
+            variance = lanes_to_ndhwc(vol, lay, C)[None]
+            extras = {"warp_violations": wviol[None]}
+            depth_values = (lo, step, D)
+        else:
+            depth_values = depth_volume()
+            # non-fused fallback: always the XLA warp+variance. The
+            # banded v1 kernel (ops/pallas_warp.py) silently zeros
+            # out-of-band taps when its host-side coverage precondition
+            # is unchecked, and this branch is exactly the one that runs
+            # when the fused gate fails for a non-ladder geometry —
+            # correctness over speed here (the drivers' default shapes
+            # always take the fused path above).
+            variance, _ = plane_sweep_variance(
+                ref_feat, src_feats, src_projs, ref_proj, depth_values)
+            extras = {}
         if want_volume:
             warped_imgs = [homo_warp(imgs_stage[:, i], src_projs[i - 1],
                                      ref_proj, depth_values)
@@ -250,6 +282,11 @@ class CascadeMVSNet(nn.Module):
     # rematerialize FeatureNet + per-stage CostRegNet during the training
     # backward (RunConfig.remat); no effect on the eval path
     remat: bool = False
+    # TRAIN fast path: route non-want_volume stages through the
+    # custom-VJP fused warp+variance kernel (ops/pallas_warp_train.py).
+    # Same (rows, band, xband) ladder + coverage precondition as eval —
+    # drivers probe with cli/eval_dtu.pick_fast_path on a train sample.
+    pallas_warp_train: bool = False
     # residual depth refinement head (reference RefineNet — dead code there
     # with refine=False everywhere; functional here)
     refine: bool = False
@@ -356,6 +393,8 @@ class CascadeMVSNet(nn.Module):
                 pallas_warp_xband=per_stage(self.pallas_warp_xband),
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail, remat=self.remat,
+                use_pallas_warp_train=(self.pallas_warp_train
+                                       and use_pallas),
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train,
                 want_volume, feat_warp=feat_warp)

@@ -39,6 +39,7 @@ def make_models(config: Config):
         pallas_tail=config.backbone.pallas_tail,
         eval_dtype=config.backbone.eval_dtype,
         train_dtype=config.backbone.train_dtype,
+        pallas_warp_train=config.backbone.pallas_warp_train,
         remat=config.run.remat)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
