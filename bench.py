@@ -25,6 +25,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: a cold train-step compile on the axon
+# tunnel runs 20+ minutes; with the cache, repeat bench runs (and the
+# driver's) skip straight to execution. Harmless if the backend can't
+# serialize executables — jax logs a warning and compiles normally.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 REF_MAPS_PER_SEC = 4.0  # estimated RTX 3090 reference (see module docstring)
 
 H, W, VIEWS, NDEPTH = 864, 1152, 5, 192
@@ -260,6 +270,13 @@ def bench_train_step(H, W, V, train_dtype, iters=8, warmup=2):
 
     for _ in range(warmup):
         state = run(state, 1)
+    # coverage sanity before timing: the fused train kernel's runtime
+    # violation counter must be zero, else the timed path is corrupting
+    # taps/gradients (ADVICE r3: train path must fail loudly like eval)
+    _, m0 = train_step(state, batch, jax.random.fold_in(rng, 10_000))
+    if "warp_violations" in m0:
+        wv = float(m0["warp_violations"])
+        assert wv == 0, f"fused train warp coverage violated ({wv:.0f})"
     t0 = time.perf_counter()
     run(state, iters)
     dt = time.perf_counter() - t0

@@ -92,7 +92,10 @@ def linspace_depth_samples(depth_hyps: jnp.ndarray, ndepth: int,
     """
     dmin = depth_hyps[:, 0]
     dmax = depth_hyps[:, -1]
-    step = (dmax - dmin) / (ndepth - 1)
+    # ndepth == 1 (e.g. the tail chunk of a chunked coverage probe when
+    # D % chunk == 1) would divide by zero and poison every sample with
+    # NaN; the single sample is dmin, so any finite step works.
+    step = (dmax - dmin) / max(ndepth - 1, 1)
     samples = dmin[:, None] + jnp.arange(ndepth, dtype=depth_hyps.dtype)[None] * step[:, None]
     return jnp.broadcast_to(samples[:, :, None, None],
                             (depth_hyps.shape[0], ndepth, height, width))

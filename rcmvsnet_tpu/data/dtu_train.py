@@ -64,6 +64,46 @@ class DTUTrainDataset:
     def __len__(self):
         return len(self.metas)
 
+    def sample_cams_all(self):
+        """Camera-only probes for the Pallas warp band-coverage check
+        (cli/eval_dtu.pick_fast_path): one entry per unique reference
+        view, each carrying ALL of its pair-file source views.
+
+        DTU's training camera rig is global (Cameras/train/*_cam.txt is
+        shared by every scan) and depth_values depend only on the ref
+        view's cam file, so coverage over these probes implies coverage
+        of every (scan, light, src-subset) training sample — including
+        random_view subsets, since check_group_coverage tests each source
+        view independently against the reference."""
+        pairs = {}
+        for _, _, ref, srcs in self.metas:
+            pairs.setdefault(ref, srcs)
+        cams = []
+        for ref, srcs in sorted(pairs.items()):
+            view_ids = [ref] + list(srcs)
+            proj = np.zeros((len(view_ids), 2, 4, 4), np.float32)
+            depth_values = None
+            for i, vid in enumerate(view_ids):
+                cam = read_cam_file(self.datapath / "Cameras" / "train" /
+                                    f"{vid:08d}_cam.txt")
+                proj[i, 0] = cam.extrinsics
+                proj[i, 1, :3, :3] = cam.intrinsics
+                if i == 0:
+                    interval = cam.depth_interval * self.interval_scale
+                    depth_values = np.arange(
+                        cam.depth_min,
+                        cam.depth_min + interval * self.ndepths,
+                        interval, dtype=np.float32)[: self.ndepths]
+            stage2 = proj.copy()
+            stage2[:, 1, :2, :] *= 2
+            stage3 = proj.copy()
+            stage3[:, 1, :2, :] *= 4
+            cams.append({"proj_matrices": {"stage1": proj, "stage2": stage2,
+                                           "stage3": stage3},
+                         "depth_values": depth_values,
+                         "hw": (512, 640)})
+        return cams
+
     def _read_image(self, scan, vid, light):
         from ..core.io import read_image
         return read_image(self.datapath / "Rectified" / f"{scan}_train" /

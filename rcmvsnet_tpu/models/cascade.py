@@ -384,6 +384,16 @@ class CascadeMVSNet(nn.Module):
 
             src_bytes = h * w * Cs * 2  # bf16 VMEM residency requirement
             use_pallas = (0 < src_bytes <= self.pallas_warp_max_bytes)
+            # the train kernel's backward keeps the full V-view src2d plus
+            # an f32 dsrc accumulator resident (~3x the forward footprint)
+            # — gate it on the backward's actual residency against the
+            # kernel's own 127 MB VMEM clamp, not just the eval gate
+            use_pallas_train = self.pallas_warp_train and use_pallas
+            if use_pallas_train and train:
+                from ..ops.pallas_warp_train import backward_vmem_bytes
+                itemsize = 2 if self.train_dtype == "bfloat16" else 4
+                use_pallas_train = backward_vmem_bytes(
+                    V, h, w, Cs, itemsize) <= 127 * 1024 * 1024
             per_stage = lambda v: (v[stage_idx]
                                    if isinstance(v, (tuple, list)) else v)
             stage_out = _DepthStage(
@@ -393,8 +403,7 @@ class CascadeMVSNet(nn.Module):
                 pallas_warp_xband=per_stage(self.pallas_warp_xband),
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail, remat=self.remat,
-                use_pallas_warp_train=(self.pallas_warp_train
-                                       and use_pallas),
+                use_pallas_warp_train=use_pallas_train,
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train,
                 want_volume, feat_warp=feat_warp)

@@ -47,6 +47,30 @@ from .pallas_warp2 import (_coords_inkernel, _identity_projection,
                            _row_mask_np, plane_sweep_variance_lanes)
 
 
+def backward_vmem_bytes(views: int, h: int, w: int, C: int,
+                        compute_itemsize: int = 2,
+                        x_align: int = 128) -> int:
+    """Estimated VMEM residency of the custom-VJP backward kernel.
+
+    The backward additionally keeps the full V-view src2d (compute dtype)
+    PLUS an f32 [V·h·C, w_src] dsrc accumulator resident — ~3× the
+    forward's footprint at bf16 — so the eval gate (per-view source bytes
+    vs pallas_warp_max_bytes) is NOT sufficient for training. Callers
+    (models/cascade.py) gate the train fast path on this estimate against
+    the 127 MB clamp the kernel itself uses.
+
+    Uses the x_align-padded width (the banded case pads; the dense case
+    doesn't — padded is the conservative bound) and the same 24 MB
+    scratch/pipeline margin as _fused_variance_bwd's vmem_limit.
+    """
+    lay = make_layout(h, w)
+    w_src = -(-w // x_align) * x_align
+    src = views * h * C * w_src * compute_itemsize
+    dsrc = views * h * C * w_src * 4
+    g = 2 * C * lay.lanesp * 4
+    return src + dsrc + g + 24 * 1024 * 1024
+
+
 def lanes_to_ndhwc(vol: jnp.ndarray, lay: LaneLayout, C: int) -> jnp.ndarray:
     """[D+2, C, lanesp] lanes volume → [D, h, w, C] NDHWC interior.
 

@@ -137,6 +137,16 @@ def make_train_step(config: Config, steps_per_epoch: int,
                                          ray_mask, 2.0),
             **unsup_scalars, **aug_scalars,
         }
+        # runtime band-coverage breach counter from the fused train warp
+        # kernel (both passes): nonzero means the probed (rows, band,
+        # xband) config does NOT cover this batch's geometry and the
+        # forward/backward silently lost taps — the driver fails loudly on
+        # the first step and the counter is logged every summary step
+        wv = [o.get("warp_violations") for o in (outputs, outputs_aug)
+              if isinstance(o, dict) and "warp_violations" in o]
+        if wv:
+            metrics["warp_violations"] = sum(
+                jnp.sum(v).astype(jnp.float32) for v in wv)
         # supervised monitoring (never in the gradient): matches the
         # reference's thres/abs metrics (train_rcmvsnet.py:351-360)
         if "depth" in batch and "mask" in batch:

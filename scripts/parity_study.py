@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -283,12 +284,17 @@ def main():
                     help="run the f32 reference arm on the CPU backend "
                          "(fallback if the XLA-f32 path exceeds HBM)")
     args = ap.parse_args()
-    # expose the CPU backend next to the TPU for the big-size f32 arm
     import jax
-    try:
-        jax.config.update("jax_platforms", "axon,cpu")
-    except Exception:
-        pass
+    if args.f32_cpu:
+        # Expose the CPU backend next to the accelerator for the big-size
+        # f32 arm. Only needed when JAX_PLATFORMS pins a single platform
+        # (unpinned jax initializes every platform, so jax.devices("cpu")
+        # already works); extend the pin instead of hardcoding a plugin
+        # name so the script stays environment-portable. Must run before
+        # backend initialization.
+        pinned = os.environ.get("JAX_PLATFORMS", "")
+        if pinned and "cpu" not in [p.strip() for p in pinned.split(",")]:
+            jax.config.update("jax_platforms", f"{pinned},cpu")
     out_path = Path(args.out)
     results = (json.loads(out_path.read_text())
                if out_path.exists() else [])

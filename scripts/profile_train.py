@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache (see bench.py) — cold compiles are 20+ min
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 H = int(os.environ.get("PT_H", 512))
 W = int(os.environ.get("PT_W", 640))
 V = int(os.environ.get("PT_V", 4))
@@ -149,12 +155,76 @@ def main():
         lambda pr, sr: render_loss(pr, sr, vol, pseudo))),
         params["render"], stats["render"])
 
+    if os.environ.get("PT_EXTRA"):
+        # ---- finer-grained decomposition of the full step ----
+        # unsup loss alone: fwd + grad WRT depth maps only (isolates the
+        # loss-side inverse-warp gathers + their scatter VJPs from the
+        # cascade backward)
+        outs_fixed = jax.lax.stop_gradient(
+            {k: {"depth": outputs[k]["depth"]} for k in
+             ("stage1", "stage2", "stage3")})
+
+        def unsup_only(depths):
+            o = {k: {"depth": depths[k]} for k in depths}
+            loss, _ = unsup_loss_multi_stage(o, batch["center_imgs"],
+                                             batch["proj_matrices"], dlossw)
+            return loss
+        depths0 = {k: outs_fixed[k]["depth"] for k in outs_fixed}
+        timeit("unsup loss fwd", jax.jit(unsup_only), depths0)
+        timeit("unsup loss grad (wrt depths)",
+               jax.jit(jax.grad(unsup_only)), depths0)
+
+        # aug loss alone (no warps — elementwise depth consistency)
+        def aug_only(depths):
+            o = {k: {"depth": depths[k]} for k in depths}
+            _, fmask = random_image_mask(rng, batch["imgs_aug"][:, 0],
+                                         (H // 3, W // 3))
+            loss, _ = aug_loss_multi_stage(o, pseudo, fmask, dlossw)
+            return loss
+        timeit("aug loss grad (wrt depths)",
+               jax.jit(jax.grad(aug_only)), depths0)
+
+        # optimizer/update overhead alone
+        from rcmvsnet_tpu.train.state import make_optimizer
+        tx, schedule = make_optimizer(config, 1000)
+
+        def opt_only(state):
+            grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            updates, _ = tx.update(grads, state.opt_state, state.params)
+            return jax.tree_util.tree_map(lambda p, u: p + u,
+                                          state.params, updates)
+        timeit("optimizer update alone", jax.jit(opt_only), state)
+
+        # cascade-only grad WITHOUT the volume (want_volume=False):
+        # isolates the want_volume warped-volume gathers + their VJPs
+        def clean_loss_novol(p, s):
+            outputs, _ = cascade.apply(
+                {"params": p, "batch_stats": s}, batch["imgs"],
+                batch["proj_matrices"], batch["depth_values"],
+                train=True, mutable=["batch_stats"])
+            loss, _ = unsup_loss_multi_stage(
+                outputs, batch["center_imgs"], batch["proj_matrices"],
+                dlossw)
+            return loss
+        timeit("grad clean (no volume)", jax.jit(jax.grad(clean_loss_novol)),
+               params["cascade"], stats["cascade"])
+
     train_step = jax.jit(make_train_step(config, steps_per_epoch=1000))
 
     def full(state):
         s2, m = train_step(state, batch, rng)
         return m["loss"]
     timeit("FULL fused train step", full, state)
+
+    if os.environ.get("PT_NOREMAT"):
+        import dataclasses as _dc
+        cfg2 = _dc.replace(config, run=_dc.replace(config.run, remat=False))
+        ts2 = jax.jit(make_train_step(cfg2, steps_per_epoch=1000))
+
+        def full2(state):
+            s2, m = ts2(state, batch, rng)
+            return m["loss"]
+        timeit("FULL step (remat OFF)", full2, state)
 
 
 if __name__ == "__main__":

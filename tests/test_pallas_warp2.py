@@ -247,3 +247,20 @@ def test_runtime_violation_counter_x_band():
         x_band=8, x_tile=8, x_align=8,
         compute_dtype=jnp.float32, out_dtype=jnp.float32, interpret=True)
     assert int(viol) > 0
+
+
+def test_coverage_probe_single_plane_tail_chunk():
+    """D % 16 == 1 leaves the chunked probe a single-plane tail chunk;
+    linspace_depth_samples(ndepth=1) used to divide by zero and the NaN
+    coords silently disabled the fast path for covered geometries
+    (ADVICE r3). The probe must agree with the NaN-free chunk sizes."""
+    feats, projs, dv, pairs, _ = _setup()
+    V, H, W, C = feats.shape
+    for D in (16, 17, 33):
+        dvals = np.linspace(600.0, 700.0, D, dtype=np.float32)[None]
+        got = check_group_coverage(pairs, dvals, H, W, 4, 8)
+        assert got, f"probe false-negative at D={D}"
+    # and a genuinely uncovered band still fails at the awkward sizes
+    assert not check_group_coverage(
+        pairs, np.linspace(600.0, 700.0, 17, dtype=np.float32)[None],
+        H, W, 4, 2)
