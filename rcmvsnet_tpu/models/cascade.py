@@ -157,13 +157,39 @@ class _DepthStage(nn.Module):
         # kernel + coverage precondition as eval, custom-VJP backward
         # (transposed hat matmuls), variance handed to the XLA cost
         # regularizer in NDHWC. want_volume (train stage 1 of the clean
-        # pass) still needs the warped source volumes → XLA fallback.
-        fused_train = (self.use_pallas_warp_train and train
-                       and not want_volume and feat_warp is None
-                       and B == 1 and D % 8 == 0
-                       and h % self.pallas_warp_rows == 0
-                       and h % 8 == 0 and w % 8 == 0)
-        if fused_train:
+        # pass) routes through the volume variant below, which emits the
+        # no-ref variance and the warped source images in the same pass.
+        fused_common = (self.use_pallas_warp_train and train
+                        and feat_warp is None and B == 1 and D % 8 == 0
+                        and h % self.pallas_warp_rows == 0
+                        and h % 8 == 0 and w % 8 == 0)
+        fused_train = fused_common and not want_volume
+        # the volume kernel is dense-x only (stage 1 is the narrowest
+        # stage; its ladder config runs a dense x contraction anyway)
+        fused_volume = (fused_common and want_volume
+                        and not self.pallas_warp_xband)
+        if fused_volume:
+            from ..ops.pallas_costreg import make_layout
+            from ..ops.pallas_warp_train import lanes_to_ndhwc
+            from ..ops.pallas_warp_volume import (
+                plane_sweep_volume_fused_train)
+            lay = make_layout(h, w)
+            vol_var, vol_nr, vol_img, wviol = plane_sweep_volume_fused_train(
+                features[0], imgs_stage[0], projs[0], (lo[0], step[0], D),
+                rows_per_step=self.pallas_warp_rows, band=self.pallas_band,
+                compute_dtype=features.dtype, out_dtype=features.dtype)
+            variance = lanes_to_ndhwc(vol_var, lay, C)[None]
+            # reference channel order: warped source images (view-major),
+            # then the no-ref variance (casmvsnet.py:231)
+            extras = {
+                "warp_violations": wviol[None],
+                "volume_feature_no_ref": jnp.concatenate(
+                    [lanes_to_ndhwc(vol_img, lay, 3 * (V - 1)),
+                     lanes_to_ndhwc(vol_nr, lay, C)], axis=-1)[None],
+            }
+            depth_values = (lo, step, D)
+            want_volume = False   # volume already built; skip the XLA path
+        elif fused_train:
             from ..ops.pallas_costreg import make_layout
             from ..ops.pallas_warp_train import (
                 lanes_to_ndhwc, plane_sweep_variance_fused_train)
@@ -391,9 +417,16 @@ class CascadeMVSNet(nn.Module):
             use_pallas_train = self.pallas_warp_train and use_pallas
             if use_pallas_train and train:
                 from ..ops.pallas_warp_train import backward_vmem_bytes
+                from ..ops.pallas_warp_volume import (
+                    volume_backward_vmem_bytes)
                 itemsize = 2 if self.train_dtype == "bfloat16" else 4
-                use_pallas_train = backward_vmem_bytes(
-                    V, h, w, Cs, itemsize) <= 127 * 1024 * 1024
+                # the volume kernel (want_volume stage) stacks 3 image
+                # channels per view next to the features, so its backward
+                # residency is strictly larger — gate on the right one
+                vmem_est = (volume_backward_vmem_bytes(V, h, w, Cs, itemsize)
+                            if return_volume and stage_idx == 0 else
+                            backward_vmem_bytes(V, h, w, Cs, itemsize))
+                use_pallas_train = vmem_est <= 127 * 1024 * 1024
             per_stage = lambda v: (v[stage_idx]
                                    if isinstance(v, (tuple, list)) else v)
             stage_out = _DepthStage(

@@ -4,6 +4,7 @@ from unittest import mock
 
 import numpy as np
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import pytest
 
@@ -11,7 +12,8 @@ from jax.experimental import pallas as pl
 
 from rcmvsnet_tpu.models.cascade import CascadeMVSNet
 from rcmvsnet_tpu.ops import (pallas_conv3d, pallas_costreg, pallas_resample,
-                              pallas_tail, pallas_warp, pallas_warp2)
+                              pallas_tail, pallas_warp, pallas_warp2,
+                              pallas_warp_train, pallas_warp_volume)
 from tests.test_models import _dtu_like_inputs
 
 
@@ -24,7 +26,8 @@ def interpret_pallas(monkeypatch):
         return orig(*args, **kwargs)
 
     for mod in (pallas_warp, pallas_warp2, pallas_conv3d, pallas_costreg,
-                pallas_resample, pallas_tail):
+                pallas_resample, pallas_tail, pallas_warp_train,
+                pallas_warp_volume):
         monkeypatch.setattr(mod.pl, "pallas_call", interp)
 
 
@@ -111,6 +114,60 @@ def test_eval_dtype_bf16_close_to_f32():
     rel = np.abs(d_ref - d_out) / np.abs(d_ref).clip(1e-6)
     # bf16 features through softmax-weighted regression: small depth shift
     assert rel.mean() < 1e-2
+
+
+def test_fused_train_volume_path_matches_xla():
+    """The production TRAIN configuration with return_volume=True — the
+    custom-VJP fused warp kernels on every stage, including the volume
+    variant (ops/pallas_warp_volume.py) on stage 1 — must reproduce the
+    XLA train path's outputs, volume feature, AND parameter gradients
+    (f32 kernel compute ⇒ tight tolerances)."""
+    imgs, projs, depth_values = _dtu_like_inputs(B=1, V=3, H=64, W=64,
+                                                 ndepth=32)
+    args = (jnp.asarray(imgs),
+            jax.tree_util.tree_map(jnp.asarray, projs),
+            jnp.asarray(depth_values))
+
+    base = CascadeMVSNet(ndepths=(8, 8, 8))
+    variables = base.init(jax.random.PRNGKey(0), *args, train=True,
+                          return_volume=True)
+    fast = CascadeMVSNet(ndepths=(8, 8, 8),
+                         pallas_warp_max_bytes=32 * 1024 * 1024,
+                         pallas_warp_rows=4, pallas_warp_band=8,
+                         pallas_warp_train=True)
+
+    def run(model):
+        (out, vol), _ = model.apply(variables, *args, train=True,
+                                    return_volume=True,
+                                    mutable=["batch_stats"])
+        return out, vol
+
+    ref_out, ref_vol = run(base)
+    out, vol = run(fast)
+    assert "warp_violations" in out, "fused train path not taken"
+    assert int(np.asarray(out["warp_violations"]).sum()) == 0
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol),
+                               rtol=1e-4, atol=1e-4)
+    for key in ("stage1", "stage2", "stage3"):
+        np.testing.assert_allclose(np.asarray(out[key]["depth"]),
+                                   np.asarray(ref_out[key]["depth"]),
+                                   rtol=1e-4, atol=1e-3, err_msg=key)
+
+    def loss(params, model):
+        (out, vol), _ = model.apply(
+            {**variables, "params": params}, *args, train=True,
+            return_volume=True, mutable=["batch_stats"])
+        return (sum(jnp.mean(out[k]["depth"]) for k in
+                    ("stage1", "stage2", "stage3"))
+                + 1e-3 * jnp.mean(vol * vol))
+
+    g_ref = jax.grad(loss)(variables["params"], base)
+    g_fast = jax.grad(loss)(variables["params"], fast)
+    flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fast)
+    scale = np.abs(np.asarray(flat_r)).max()
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
+                               rtol=2e-3, atol=2e-4 * max(scale, 1.0))
 
 
 def test_fused_cascade_surfaces_runtime_violations():
