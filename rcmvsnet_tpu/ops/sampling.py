@@ -32,6 +32,18 @@ def _unnormalize(coord, size):
     return (coord + 1.0) * (size - 1) / 2.0
 
 
+def _gather_flat(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-batch point gather through a FLATTENED spatial axis.
+
+    flat: [B, S, C]; idx: [B, N] int32 (already clipped in-range).
+    Returns [B, N, C]. A 1D take_along_axis lowers to a single-axis XLA
+    gather (and its VJP to a single-axis scatter-add) — measurably faster
+    on TPU than the multi-dim advanced-indexing gather `im[yy, xx]`
+    (scripts/profile_micro.py: the coordinate VJP of the 512×640 loss
+    warp drops ~1.4×; the 3D volume scatter more)."""
+    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+
 def grid_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                    padding_mode: str = "zeros") -> jnp.ndarray:
     """Bilinear sample img at normalized coords (align_corners=True).
@@ -52,11 +64,12 @@ def grid_sample_2d(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     wx = x - x0
     wy = y - y0
 
+    flat = img.reshape(B, H * W, C)
+
     def tap(ix, iy):
         ix_c = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
         iy_c = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
-        # [B, N, C] gather per batch element
-        vals = jax.vmap(lambda im, xx, yy: im[yy, xx])(img, ix_c, iy_c)
+        vals = _gather_flat(flat, iy_c * W + ix_c)     # [B, N, C]
         if padding_mode == "zeros":
             valid = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
             vals = vals * valid[..., None].astype(vals.dtype)
@@ -91,11 +104,13 @@ def grid_sample_3d(vol: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     x0, y0, z0 = jnp.floor(x), jnp.floor(y), jnp.floor(z)
     wx, wy, wz = x - x0, y - y0, z - z0
 
+    flat = vol.reshape(B, D * H * W, C)
+
     def tap(ix, iy, iz):
         ix_c = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
         iy_c = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
         iz_c = jnp.clip(iz, 0, D - 1).astype(jnp.int32)
-        vals = jax.vmap(lambda v, xx, yy, zz: v[zz, yy, xx])(vol, ix_c, iy_c, iz_c)
+        vals = _gather_flat(flat, (iz_c * H + iy_c) * W + ix_c)
         if padding_mode == "zeros":
             valid = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
                      & (iz >= 0) & (iz <= D - 1))
@@ -140,11 +155,11 @@ def loss_bilinear_sample(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     y0c = jnp.clip(y0, 0, H - 1)
     y1c = jnp.clip(y1, 0, H - 1)
 
-    gather = jax.vmap(lambda im, xx, yy: im[yy, xx])
-    pa = gather(img, x0c, y0c)
-    pb = gather(img, x0c, y1c)
-    pc = gather(img, x1c, y0c)
-    pd = gather(img, x1c, y1c)
+    flat = img.reshape(B, H * W, C)
+    pa = _gather_flat(flat, y0c * W + x0c)
+    pb = _gather_flat(flat, y1c * W + x0c)
+    pc = _gather_flat(flat, y0c * W + x1c)
+    pd = _gather_flat(flat, y1c * W + x1c)
 
     x1f = x1.astype(img.dtype)
     y1f = y1.astype(img.dtype)
