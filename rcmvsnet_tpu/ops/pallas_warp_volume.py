@@ -55,7 +55,7 @@ def volume_backward_vmem_bytes(views: int, h: int, w: int, C: int,
     src (C+3 channels/view) + f32 dsrc accumulator + the three cotangent
     plane blocks + the usual scratch margin."""
     lay = make_layout(h, w)
-    CT = C + 3
+    CT = _ct_padded(C, 3)
     src = views * h * CT * w * compute_itemsize
     dsrc = views * h * CT * w * 4
     g = (2 * C + 3 * (views - 1)) * lay.lanesp * 4
@@ -100,13 +100,12 @@ def _warp_view_con(proj_ref, src_ref, depth, row0, v, *, band, CT, h, w,
 
 def _warp_vol_fwd_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
                          var_ref, varnr_ref, img_ref, viol_ref, *,
-                         views: int, band: int, C: int, CI: int, h: int,
-                         w: int, w_src: int, R: int, wp: int, D: int,
-                         halo: int, lanesp: int, n_rg: int,
+                         views: int, band: int, C: int, CI: int, CT: int,
+                         h: int, w: int, w_src: int, R: int, wp: int,
+                         D: int, halo: int, lanesp: int, n_rg: int,
                          interpret: bool, compute_dtype):
     """One grid step per output plane; row groups in an in-kernel loop."""
     p = pl.program_id(0)
-    CT = C + CI
     n_img = CI * (views - 1)
 
     @pl.when(p == 0)
@@ -159,7 +158,7 @@ def _warp_vol_fwd_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
                 acc_s = acc_s + con_f
                 acc_q = acc_q + con_f * con_f
                 img_ref[0, (v - 1) * CI: v * CI, pl.ds(off, lanes)] = (
-                    con[C:] * mask).astype(img_ref.dtype)
+                    con[C:C + CI] * mask).astype(img_ref.dtype)
 
             ref_b = _warp_ref_rows(src_ref, row0, R, C, CT, w_src, wp, roll)
             sum_all = acc_s + ref_b
@@ -178,13 +177,13 @@ def _warp_vol_fwd_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
 
 def _warp_vol_bwd_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref, gv_ref,
                          gnr_ref, gi_ref, dsrc_ref, *, views: int,
-                         band: int, C: int, CI: int, h: int, w: int,
-                         w_src: int, R: int, wp: int, D: int, halo: int,
-                         n_rg: int, interpret: bool, compute_dtype):
+                         band: int, C: int, CI: int, CT: int, h: int,
+                         w: int, w_src: int, R: int, wp: int, D: int,
+                         halo: int, n_rg: int, interpret: bool,
+                         compute_dtype):
     """One grid step per depth plane: recompute warped rows, form the
     stacked cotangent, accumulate transposed hat matmuls into dsrc."""
     p = pl.program_id(0)
-    CT = C + CI
 
     @pl.when(p == 0)
     def _init():
@@ -244,7 +243,9 @@ def _warp_vol_bwd_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref, gv_ref,
                                    + gnr * (con_f - mean_nr))
             gi = gi_ref[0, pl.ds((v - 1) * CI, CI),
                         pl.ds(goff, lanes)].astype(jnp.float32) * mask
-            dcont = jnp.concatenate([dcf, gi], axis=0)    # [CT, lanes]
+            pad = ((jnp.zeros((CT - C - CI, lanes), jnp.float32),)
+                   if CT > C + CI else ())
+            dcont = jnp.concatenate([dcf, gi, *pad], axis=0)  # [CT, lanes]
             d_outx = jnp.concatenate(
                 [dcont * hat_y[s:s + 1, :] for s in range(band)],
                 axis=0).astype(compute_dtype)             # [band·CT, lanes]
@@ -288,19 +289,31 @@ def plane_sweep_volume_fused_train(
                          jnp.asarray(step, jnp.float32))
 
 
+def _ct_padded(C: int, CI: int) -> int:
+    """Per-(view, row) channel-stack height, padded to a sublane multiple:
+    the kernels slice src/dsrc at dynamic row offsets (v·h + ymin)·CT, and
+    Mosaic must statically prove those are multiples of the 8-sublane
+    tiling — true for any dynamic ymin iff CT itself is."""
+    return -(-(C + CI) // 8) * 8
+
+
 def _stack_src(features, imgs, compute_dtype):
-    """[V, h, w, C] + [V, h, w, CI] → channel-major [V·h·(C+CI), w]."""
+    """[V, h, w, C] + [V, h, w, CI] → channel-major [V·h·CT, w] with the
+    channel stack zero-padded to CT = _ct_padded(C, CI)."""
     both = jnp.concatenate([features, imgs], axis=-1)
-    V, h, w, CT = both.shape
+    V, h, w, ct = both.shape
+    ct_p = _ct_padded(features.shape[-1], imgs.shape[-1])
+    if ct_p != ct:
+        both = jnp.pad(both, ((0, 0), (0, 0), (0, 0), (0, ct_p - ct)))
     return jnp.transpose(both.astype(compute_dtype),
-                         (0, 1, 3, 2)).reshape(V * h * CT, w)
+                         (0, 1, 3, 2)).reshape(V * h * ct_p, w)
 
 
 def _call_fwd(static, features, imgs, projs, lo, step):
     (R, band, D, cdt, odt, interpret) = static
     V, h, w, C = features.shape
     CI = imgs.shape[-1]
-    CT = C + CI
+    CT = _ct_padded(C, CI)
     lay = make_layout(h, w)
     compute_dtype = jnp.dtype(cdt).type
     out_dtype = jnp.dtype(odt).type
@@ -313,9 +326,10 @@ def _call_fwd(static, features, imgs, projs, lo, step):
     n_img = CI * (V - 1)
 
     kern = functools.partial(
-        _warp_vol_fwd_kernel, views=V, band=band, C=C, CI=CI, h=h, w=w,
-        w_src=w, R=R, wp=lay.wp, D=D, halo=lay.halo, lanesp=lay.lanesp,
-        n_rg=h // R, interpret=interpret, compute_dtype=compute_dtype)
+        _warp_vol_fwd_kernel, views=V, band=band, C=C, CI=CI, CT=CT, h=h,
+        w=w, w_src=w, R=R, wp=lay.wp, D=D, halo=lay.halo,
+        lanesp=lay.lanesp, n_rg=h // R, interpret=interpret,
+        compute_dtype=compute_dtype)
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     out_block = (2 * C + n_img) * lay.lanesp * np.dtype(out_dtype).itemsize
     vmem = int(min(127 * 1024 * 1024,
@@ -368,7 +382,7 @@ def _fused_volume_bwd(static, res, cts):
     features, imgs, projs, lo, step = res
     V, h, w, C = features.shape
     CI = imgs.shape[-1]
-    CT = C + CI
+    CT = _ct_padded(C, CI)
     lay = make_layout(h, w)
     compute_dtype = jnp.dtype(cdt).type
     src2d = _stack_src(features, imgs, compute_dtype)
@@ -377,8 +391,8 @@ def _fused_volume_bwd(static, res, cts):
     mask = jnp.asarray(_row_mask_np(R, lay.wp, w))
 
     kern = functools.partial(
-        _warp_vol_bwd_kernel, views=V, band=band, C=C, CI=CI, h=h, w=w,
-        w_src=w, R=R, wp=lay.wp, D=D, halo=lay.halo, n_rg=h // R,
+        _warp_vol_bwd_kernel, views=V, band=band, C=C, CI=CI, CT=CT, h=h,
+        w=w, w_src=w, R=R, wp=lay.wp, D=D, halo=lay.halo, n_rg=h // R,
         interpret=interpret, compute_dtype=compute_dtype)
     src_bytes = src2d.size * np.dtype(compute_dtype).itemsize
     dsrc_bytes = V * h * CT * w * 4
@@ -413,7 +427,7 @@ def _fused_volume_bwd(static, res, cts):
 
     dboth = jnp.transpose(dsrc.reshape(V, h, CT, w), (0, 1, 3, 2))
     dfeat = dboth[..., :C].astype(features.dtype)
-    dimg = dboth[..., C:].astype(imgs.dtype)
+    dimg = dboth[..., C:C + CI].astype(imgs.dtype)
     return (dfeat, dimg, jnp.zeros_like(projs), jnp.zeros_like(lo),
             jnp.zeros_like(step))
 
