@@ -248,11 +248,16 @@ def bench_train_step(H, W, V, train_dtype, iters=8, warmup=2):
         if max_bytes:
             wkw = dict(pallas_warp_max_bytes=max_bytes,
                        pallas_warp_band=band, pallas_warp_rows=rows,
-                       pallas_warp_xband=xband, pallas_warp_train=True)
+                       pallas_warp_xband=xband, pallas_warp_train=True,
+                       pallas_costreg_train=True)
         print(f"train warp config: rows={rows} band={band} xband={xband} "
               f"max_bytes={max_bytes}", file=sys.stderr)
+    rkw = ({"pallas_costreg_train": True}
+           if jax.default_backend() == "tpu" else {})
+    from rcmvsnet_tpu.config import RenderConfig
     config = Config(backbone=BackboneConfig(train_dtype=train_dtype,
-                                            **wkw))
+                                            **wkw),
+                    render=RenderConfig(**rkw))
     state = create_train_state(config, batch, steps_per_epoch=1000,
                                rng=jax.random.PRNGKey(0))
     batch = jax.tree_util.tree_map(jnp.asarray, batch)

@@ -207,10 +207,14 @@ def main(argv=None):
                                   depth_inter_r=args.depth_inter_r),
             train_ds.sample_cams_all())
         if max_bytes:
-            config = config.replace(backbone=dataclasses.replace(
-                config.backbone, pallas_warp_max_bytes=max_bytes,
-                pallas_warp_band=band, pallas_warp_rows=rows,
-                pallas_warp_xband=xband, pallas_warp_train=True))
+            config = config.replace(
+                backbone=dataclasses.replace(
+                    config.backbone, pallas_warp_max_bytes=max_bytes,
+                    pallas_warp_band=band, pallas_warp_rows=rows,
+                    pallas_warp_xband=xband, pallas_warp_train=True,
+                    pallas_costreg_train=True),
+                render=dataclasses.replace(
+                    config.render, pallas_costreg_train=True))
 
     # each process loads only its shard of the global batch
     # (DistributedSampler semantics, train_rcmvsnet.py:592-600)

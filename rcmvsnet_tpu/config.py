@@ -42,6 +42,10 @@ class BackboneConfig:
     # non-want_volume stages (ops/pallas_warp_train.py); gated by the
     # same pallas_warp_max_bytes/rows/band/xband ladder as eval
     pallas_warp_train: bool = False
+    # TRAIN fast path: per-stage CostRegNet U-Nets through the
+    # differentiable lanes convs (ops/pallas_costreg_train.py); gated on
+    # B=1 and 8-divisible D/h/w per stage, XLA fallback otherwise
+    pallas_costreg_train: bool = False
 
 
 @dataclass(frozen=True)
@@ -60,6 +64,9 @@ class RenderConfig:
     # an [H+2p, W+2p] slice into an [H, W] buffer — crashes for pad>0, and
     # no call site ever passes pad≠0), so only the ray side is functional.
     pad: int = 0
+    # TRAIN fast path: the neural-volume RenderCostReg U-Net through the
+    # differentiable lanes convs (ops/pallas_costreg_train.py)
+    pallas_costreg_train: bool = False
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,11 @@ class _DepthStage(nn.Module):
     # backward is an HBM-bound scatter; the kernel's is a transposed hat
     # matmul. Gated like the eval path; want_volume stages fall back.
     use_pallas_warp_train: bool = False
+    # TRAIN fast path: CostRegNet through the differentiable lanes convs
+    # (ops/pallas_costreg_train.py). When the fused train warp kernel ran,
+    # its lanes-resident variance feeds the U-Net directly (no NDHWC
+    # round trip); otherwise the NDHWC variance is converted on entry.
+    costreg_train_impl: str = "xla"
 
     @nn.compact
     def __call__(self, features, projs, depth_planes, imgs_stage=None,
@@ -168,6 +173,13 @@ class _DepthStage(nn.Module):
         # stage; its ladder config runs a dense x contraction anyway)
         fused_volume = (fused_common and want_volume
                         and not self.pallas_warp_xband)
+        # the differentiable lanes U-Net accepts the fused kernels'
+        # lanes-resident variance directly; var_lanes short-circuits the
+        # NDHWC conversion when both fast paths are on
+        lanes_train = (train and self.costreg_train_impl == "lanes"
+                       and B == 1 and D % 8 == 0
+                       and h % 8 == 0 and w % 8 == 0)
+        var_lanes_train = None
         if fused_volume:
             from ..ops.pallas_costreg import make_layout
             from ..ops.pallas_warp_train import lanes_to_ndhwc
@@ -178,7 +190,10 @@ class _DepthStage(nn.Module):
                 features[0], imgs_stage[0], projs[0], (lo[0], step[0], D),
                 rows_per_step=self.pallas_warp_rows, band=self.pallas_band,
                 compute_dtype=features.dtype, out_dtype=features.dtype)
-            variance = lanes_to_ndhwc(vol_var, lay, C)[None]
+            if lanes_train:
+                var_lanes_train, variance = vol_var, None
+            else:
+                variance = lanes_to_ndhwc(vol_var, lay, C)[None]
             # reference channel order: warped source images (view-major),
             # then the no-ref variance (casmvsnet.py:231)
             extras = {
@@ -202,7 +217,10 @@ class _DepthStage(nn.Module):
                 rows_per_step=self.pallas_warp_rows,
                 band=self.pallas_band, x_band=xb,
                 compute_dtype=features.dtype, out_dtype=features.dtype)
-            variance = lanes_to_ndhwc(vol, lay, C)[None]
+            if lanes_train:
+                var_lanes_train, variance = vol, None
+            else:
+                variance = lanes_to_ndhwc(vol, lay, C)[None]
             extras = {"warp_violations": wviol[None]}
             depth_values = (lo, step, D)
         else:
@@ -227,16 +245,28 @@ class _DepthStage(nn.Module):
             extras["volume_feature_no_ref"] = jnp.concatenate(
                 warped_imgs + [var_no_ref], axis=-1)
 
+        # rematerializing the U-Net during backward keeps only its input
+        # volume live across the rest of the pass (the C=8 NDHWC conv
+        # temps pad 16x on TPU — see RunConfig.remat)
+        if var_lanes_train is not None:
+            # lanes-resident variance from the fused train warp kernel —
+            # the differentiable lanes U-Net consumes it directly
+            CR = (nn.remat(CostRegNet, static_argnums=(2, 3))
+                  if self.remat else CostRegNet)
+            cost = CR(self.base_channels, train_impl="lanes",
+                      name="cost_reg")(var_lanes_train, train,
+                                       (D, h, w, C))
+            return self._tail(cost, depth_values, train, extras)
         impl = self.costreg_impl
         if impl == "lanes" and not all(
                 d % 8 == 0 for d in variance.shape[1:4]):
             impl = "pallas3d"   # lanes layout needs D/h/w divisible by 8
-        # rematerializing the U-Net during backward keeps only its input
-        # volume live across the rest of the pass (the C=8 NDHWC conv
-        # temps pad 16x on TPU — see RunConfig.remat)
+        train_impl = ("lanes" if lanes_train
+                      and all(d % 8 == 0 for d in variance.shape[1:4])
+                      and variance.shape[0] == 1 else "xla")
         CR = (nn.remat(CostRegNet, static_argnums=(2,))
               if self.remat and train else CostRegNet)
-        cost = CR(self.base_channels, conv_impl=impl,
+        cost = CR(self.base_channels, conv_impl=impl, train_impl=train_impl,
                   name="cost_reg")(variance, train)
         return self._tail(cost, depth_values, train, extras)
 
@@ -313,6 +343,10 @@ class CascadeMVSNet(nn.Module):
     # Same (rows, band, xband) ladder + coverage precondition as eval —
     # drivers probe with cli/eval_dtu.pick_fast_path on a train sample.
     pallas_warp_train: bool = False
+    # TRAIN fast path: per-stage CostRegNet through the differentiable
+    # lanes convs (ops/pallas_costreg_train.py); per-stage XLA fallback
+    # when the B=1 / 8-divisibility gate fails
+    pallas_costreg_train: bool = False
     # residual depth refinement head (reference RefineNet — dead code there
     # with refine=False everywhere; functional here)
     refine: bool = False
@@ -437,6 +471,8 @@ class CascadeMVSNet(nn.Module):
                 costreg_impl="lanes" if self.pallas_costreg else "xla",
                 use_pallas_tail=self.pallas_tail, remat=self.remat,
                 use_pallas_warp_train=use_pallas_train,
+                costreg_train_impl=("lanes" if self.pallas_costreg_train
+                                    else "xla"),
                 name=f"stage{stage_idx + 1}")(
                 features, projs, depth_samples, imgs_stage, train,
                 want_volume, feat_warp=feat_warp)

@@ -67,6 +67,8 @@ class RenderingConsistencyNet(nn.Module):
     net_type: str = "v0"  # 'v0' mult bias | 'v1' attention | 'v2' additive
     pad: int = 0
     remat: bool = False   # remat the neural-volume U-Net under train
+    # TRAIN fast path for the neural-volume U-Net (see NeuralVolumeNet)
+    costreg_train_impl: str = "xla"
 
     @nn.compact
     def __call__(self, volume_feature, pseudo_depth, imgs, w2cs, c2ws,
@@ -81,6 +83,7 @@ class RenderingConsistencyNet(nn.Module):
         volume = NeuralVolumeNet(num_planes=self.num_planes,
                                  base_channels=self.volume_channels,
                                  remat=self.remat,
+                                 costreg_train_impl=self.costreg_train_impl,
                                  name="neural_volume")(volume_feature, train)
 
         B, V, H, W, _ = imgs.shape

@@ -22,6 +22,10 @@ class NeuralVolumeNet(nn.Module):
     num_planes: int = 128
     base_channels: int = 8
     remat: bool = False  # nn.remat the U-Net under train (RunConfig.remat)
+    # TRAIN fast path: the U-Net through the differentiable lanes convs
+    # (ops/pallas_costreg_train.py); RenderCostReg falls back to XLA when
+    # its own B=1 / 8-divisibility gate fails
+    costreg_train_impl: str = "xla"
 
     @nn.compact
     def __call__(self, volume_feature, train: bool = False):
@@ -31,4 +35,5 @@ class NeuralVolumeNet(nn.Module):
                                align_corners=True)
         RC = (nn.remat(RenderCostReg, static_argnums=(2,))
               if self.remat and train else RenderCostReg)
-        return RC(self.base_channels, name="cost_reg_2")(vol, train)
+        return RC(self.base_channels, train_impl=self.costreg_train_impl,
+                  name="cost_reg_2")(vol, train)

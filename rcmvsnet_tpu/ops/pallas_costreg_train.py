@@ -161,14 +161,21 @@ _conv_t.defvjp(_conv_t_fwd, _conv_t_bwd)
 
 
 def _dw_kernel(x_ref, g_ref, m_ref, out_ref, *, ci_p: int, co_p: int,
-               wp: int, halo: int, L: int, compute_dtype):
-    """Accumulate dW[27·Ci', Co'] over (output plane, lane tile) steps.
+               wp: int, halo: int, L: int, interpret: bool,
+               compute_dtype):
+    """Accumulate dW[9·Ci', 3·Co'] over (output plane, lane tile) steps.
 
     x_ref: [3, Ci', L+2·halo] input window (the forward's three dz
-    planes); g_ref: [1, Co', L] cotangent tile; m_ref: [1, L] border mask.
-    The 27 (dz, dy, dx) shifted views of the window stack on sublanes and
-    contract against the masked cotangent in ONE [27·Ci', L]×[L, Co'] MXU
-    matmul per step."""
+    planes); g_ref: [1, Co', L+256] / m_ref: [1, L+256] cotangent + border
+    mask with 128 lanes of neighbor context each side. The 9 (dz, dy)
+    window slices are ±wp lane shifts — wp and halo are 128-multiples, so
+    every slice is lane-ALIGNED (Mosaic cannot concatenate vectors with
+    mismatched lane offsets) — and stack on sublanes; the 3 dx taps ride
+    the cotangent side as lane rolls of the wide masked block. ONE
+    [9·Ci', L]×[L, 3·Co'] MXU contraction per step yields all 27 taps.
+    Each tile's ±1-rolled windows trade one edge lane with the neighbor
+    tile (the union over tiles covers every lane exactly once), and the
+    overall first/last lanes land on border rows the mask zeroes."""
     d = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -179,20 +186,25 @@ def _dw_kernel(x_ref, g_ref, m_ref, out_ref, *, ci_p: int, co_p: int,
     precision = (jax.lax.Precision.HIGHEST
                  if compute_dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
+    roll = jnp.roll if interpret else pltpu.roll
     x = x_ref[...]
-    g = (g_ref[0].astype(jnp.float32) * m_ref[0]).astype(compute_dtype)
     pieces = []
     for dz in range(3):
         xz = x[dz]
         for dy in range(3):
-            for dx in range(3):
-                off = halo + (dy - 1) * wp + (dx - 1)
-                pieces.append(xz[:, off:off + L])
+            off = halo + (dy - 1) * wp
+            pieces.append(xz[:, off:off + L])
     x_cat = jnp.concatenate(pieces, axis=0).astype(compute_dtype)
+    gm = g_ref[0].astype(jnp.float32) * m_ref[0]     # [Co', L+256]
+    # pltpu.roll requires non-negative shifts; the roll is cyclic so
+    # shift −1 ≡ width−1
+    g_pieces = [roll(gm, (dx - 1) % (L + 256), 1)[:, 128:128 + L]
+                for dx in range(3)]
+    g_cat = jnp.concatenate(g_pieces, axis=0).astype(compute_dtype)
     dw = jax.lax.dot_general(
-        x_cat, g, dimension_numbers=(((1,), (1,)), ((), ())),
+        x_cat, g_cat, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=precision)                        # [27·Ci', Co']
+        precision=precision)                        # [9·Ci', 3·Co']
     out_ref[...] += dw
 
 
@@ -207,10 +219,12 @@ def _conv_dw(x, g_m, kshape, lay, *, z_stride, compute_dtype, interpret):
     p_out = g_m.shape[0] - 2
     zs = z_stride
 
-    # subdivide the lane tile to bound the [27·Ci', L] stacked windows
+    # subdivide the lane tile to bound the stacked [9·Ci', L] windows +
+    # [3·Co', L] rolled cotangent
     itemsize = np.dtype(compute_dtype).itemsize
     sub = 1
-    while (27 * ci_p * (L // sub) * itemsize > 12 * 1024 * 1024
+    while ((9 * ci_p + 3 * co_p) * (L // sub) * itemsize
+           > 12 * 1024 * 1024
            and L % (2 * sub) == 0 and (L // (2 * sub)) % 128 == 0):
         sub *= 2
     Lk = L // sub
@@ -222,32 +236,36 @@ def _conv_dw(x, g_m, kshape, lay, *, z_stride, compute_dtype, interpret):
         pl.BlockSpec((pl.Element(3), pl.Element(ci_p), pl.Element(lh)),
                      lambda d, i: (zs * d, 0, lane_off(i * Lk)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((pl.Element(1), pl.Element(co_p), pl.Element(Lk)),
-                     lambda d, i: (d + 1, 0, lane_off(H + i * Lk)),
+        pl.BlockSpec((pl.Element(1), pl.Element(co_p), pl.Element(Lk + 256)),
+                     lambda d, i: (d + 1, 0, lane_off(H - 128 + i * Lk)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((pl.Element(1), pl.Element(Lk)),
-                     lambda d, i: (0, lane_off(H + i * Lk)),
+        pl.BlockSpec((pl.Element(1), pl.Element(Lk + 256)),
+                     lambda d, i: (0, lane_off(H - 128 + i * Lk)),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((27 * ci_p, co_p), lambda d, i: (0, 0),
+    out_spec = pl.BlockSpec((9 * ci_p, 3 * co_p), lambda d, i: (0, 0),
                             memory_space=pltpu.VMEM)
     vmem = int(min(100 * 1024 * 1024,
                    2 * (3 * ci_p * lh * x.dtype.itemsize
-                        + co_p * Lk * g_m.dtype.itemsize + Lk * 4)
-                   + 27 * ci_p * Lk * itemsize
+                        + co_p * (Lk + 256) * g_m.dtype.itemsize
+                        + (Lk + 256) * 4)
+                   + (9 * ci_p + 3 * co_p) * Lk * itemsize
+                   + 4 * co_p * (Lk + 256) * 4
                    + 27 * ci_p * co_p * 4 + 6 * 1024 * 1024))
     kern = functools.partial(_dw_kernel, ci_p=ci_p, co_p=co_p, wp=lay.wp,
-                             halo=H, L=Lk, compute_dtype=compute_dtype)
+                             halo=H, L=Lk, interpret=interpret,
+                             compute_dtype=compute_dtype)
     dw = pl.pallas_call(
         kern,
         grid=(p_out, n * sub),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((27 * ci_p, co_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * ci_p, 3 * co_p), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem),
         **({"interpret": True} if interpret else {}),
     )(x, g_m, mask)
-    return dw.reshape(3, 3, 3, ci_p, co_p)[:, :, :, :ci, :co]
+    dw = dw.reshape(3, 3, ci_p, 3, co_p).transpose(0, 1, 3, 2, 4)
+    return dw[:, :, :, :ci, :co]
 
 
 # ---------------------------------------------------------------------------

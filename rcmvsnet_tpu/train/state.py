@@ -40,6 +40,7 @@ def make_models(config: Config):
         eval_dtype=config.backbone.eval_dtype,
         train_dtype=config.backbone.train_dtype,
         pallas_warp_train=config.backbone.pallas_warp_train,
+        pallas_costreg_train=config.backbone.pallas_costreg_train,
         remat=config.run.remat)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
@@ -51,7 +52,9 @@ def make_models(config: Config):
         num_planes=config.render.num_planes,
         net_type=config.render.net_type,
         pad=config.render.pad,
-        remat=config.run.remat)
+        remat=config.run.remat,
+        costreg_train_impl=("lanes" if config.render.pallas_costreg_train
+                           else "xla"))
     return cascade, render
 
 

@@ -11,7 +11,8 @@ import pytest
 from jax.experimental import pallas as pl
 
 from rcmvsnet_tpu.models.cascade import CascadeMVSNet
-from rcmvsnet_tpu.ops import (pallas_conv3d, pallas_costreg, pallas_resample,
+from rcmvsnet_tpu.ops import (pallas_conv3d, pallas_costreg,
+                              pallas_costreg_train, pallas_resample,
                               pallas_tail, pallas_warp, pallas_warp2,
                               pallas_warp_train, pallas_warp_volume)
 from tests.test_models import _dtu_like_inputs
@@ -27,7 +28,7 @@ def interpret_pallas(monkeypatch):
 
     for mod in (pallas_warp, pallas_warp2, pallas_conv3d, pallas_costreg,
                 pallas_resample, pallas_tail, pallas_warp_train,
-                pallas_warp_volume):
+                pallas_warp_volume, pallas_costreg_train):
         monkeypatch.setattr(mod.pl, "pallas_call", interp)
 
 
@@ -152,6 +153,65 @@ def test_fused_train_volume_path_matches_xla():
         np.testing.assert_allclose(np.asarray(out[key]["depth"]),
                                    np.asarray(ref_out[key]["depth"]),
                                    rtol=1e-4, atol=1e-3, err_msg=key)
+
+    def loss(params, model):
+        (out, vol), _ = model.apply(
+            {**variables, "params": params}, *args, train=True,
+            return_volume=True, mutable=["batch_stats"])
+        return (sum(jnp.mean(out[k]["depth"]) for k in
+                    ("stage1", "stage2", "stage3"))
+                + 1e-3 * jnp.mean(vol * vol))
+
+    g_ref = jax.grad(loss)(variables["params"], base)
+    g_fast = jax.grad(loss)(variables["params"], fast)
+    flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+    flat_f, _ = jax.flatten_util.ravel_pytree(g_fast)
+    scale = np.abs(np.asarray(flat_r)).max()
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
+                               rtol=2e-3, atol=2e-4 * max(scale, 1.0))
+
+
+def test_lanes_costreg_train_path_matches_xla():
+    """The FULL production train fast path — fused custom-VJP warp kernels
+    feeding the per-stage CostRegNets through the differentiable lanes
+    U-Net (pallas_costreg_train=True), the lanes-resident variance never
+    converted to NDHWC — must reproduce the XLA train path's outputs,
+    parameter gradients, and BN running-stat updates."""
+    imgs, projs, depth_values = _dtu_like_inputs(B=1, V=3, H=64, W=64,
+                                                 ndepth=32)
+    args = (jnp.asarray(imgs),
+            jax.tree_util.tree_map(jnp.asarray, projs),
+            jnp.asarray(depth_values))
+
+    base = CascadeMVSNet(ndepths=(8, 8, 8))
+    variables = base.init(jax.random.PRNGKey(0), *args, train=True,
+                          return_volume=True)
+    fast = CascadeMVSNet(ndepths=(8, 8, 8),
+                         pallas_warp_max_bytes=32 * 1024 * 1024,
+                         pallas_warp_rows=4, pallas_warp_band=8,
+                         pallas_warp_train=True,
+                         pallas_costreg_train=True)
+
+    def run(model):
+        (out, vol), mut = model.apply(variables, *args, train=True,
+                                      return_volume=True,
+                                      mutable=["batch_stats"])
+        return out, vol, mut["batch_stats"]
+
+    ref_out, ref_vol, ref_bs = run(base)
+    out, vol, bs = run(fast)
+    assert "warp_violations" in out, "fused train path not taken"
+    assert int(np.asarray(out["warp_violations"]).sum()) == 0
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(ref_vol),
+                               rtol=1e-4, atol=1e-4)
+    for key in ("stage1", "stage2", "stage3"):
+        np.testing.assert_allclose(np.asarray(out[key]["depth"]),
+                                   np.asarray(ref_out[key]["depth"]),
+                                   rtol=1e-4, atol=1e-3, err_msg=key)
+    flat_bs_r, _ = jax.flatten_util.ravel_pytree(ref_bs)
+    flat_bs_f, _ = jax.flatten_util.ravel_pytree(bs)
+    np.testing.assert_allclose(np.asarray(flat_bs_f), np.asarray(flat_bs_r),
+                               rtol=1e-4, atol=1e-5)
 
     def loss(params, model):
         (out, vol), _ = model.apply(
