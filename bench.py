@@ -36,6 +36,12 @@ except Exception:
     pass
 
 REF_MAPS_PER_SEC = 4.0  # estimated RTX 3090 reference (see module docstring)
+# Estimated reference TRAIN steps/s on an RTX 3090 (B=1, 512×640, 3+1
+# views): derived bottom-up from the same 0.25 s/map anchor in BASELINE.md
+# ("Derived reference TRAIN throughput"); favors the reference (assumes
+# perfect kernel overlap, excludes its shipped-enabled autograd anomaly
+# mode). train_vs_baseline = ours / 1.5.
+REF_TRAIN_STEPS_PER_SEC = 1.5
 
 H, W, VIEWS, NDEPTH = 864, 1152, 5, 192
 WARMUP, ITERS = 2, 10
@@ -205,6 +211,7 @@ def main():
         tflops = train_step_flops(tH, tW, tV)
         result.update({
             "train_steps_per_sec": round(sps_bf16, 4),
+            "train_vs_baseline": round(sps_bf16 / REF_TRAIN_STEPS_PER_SEC, 4),
             "train_mfu_bf16_peak": round(
                 tflops * sps_bf16 / PEAK_BF16_FLOPS, 4),
             "train_dtype": "bfloat16" if on_tpu else "float32",
@@ -252,12 +259,14 @@ def bench_train_step(H, W, V, train_dtype, iters=8, warmup=2):
                        pallas_costreg_train=True)
         print(f"train warp config: rows={rows} band={band} xband={xband} "
               f"max_bytes={max_bytes}", file=sys.stderr)
-    rkw = ({"pallas_costreg_train": True}
+    rkw = ({"pallas_costreg_train": True, "train_dtype": train_dtype,
+            "ray_major_lookup": True}
            if jax.default_backend() == "tpu" else {})
-    from rcmvsnet_tpu.config import RenderConfig
+    from rcmvsnet_tpu.config import RenderConfig, RunConfig
     config = Config(backbone=BackboneConfig(train_dtype=train_dtype,
                                             **wkw),
-                    render=RenderConfig(**rkw))
+                    render=RenderConfig(**rkw),
+                    run=RunConfig(remat_modules=False))
     state = create_train_state(config, batch, steps_per_epoch=1000,
                                rng=jax.random.PRNGKey(0))
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -273,8 +282,15 @@ def bench_train_step(H, W, V, train_dtype, iters=8, warmup=2):
         float(jnp.stack(probes).sum())   # tunnel-safe sync
         return state
 
+    # warm up with the SAME iteration count as the timed run: run() ends in
+    # a jnp.stack(probes).sum() whose shape depends on n, and compiling
+    # that trivial probe program over the axon tunnel costs ~5 s — warming
+    # at n=1 left it inside the timed window, deflating every reported
+    # steps/s by ~45% (round-5 trace: 8 steps execute back-to-back in
+    # 723.7 ms each, then the device idles 4.77 s waiting on the probe
+    # compile before the final sum).
     for _ in range(warmup):
-        state = run(state, 1)
+        state = run(state, iters)
     # coverage sanity before timing: the fused train kernel's runtime
     # violation counter must be zero, else the timed path is corrupting
     # taps/gradients (ADVICE r3: train path must fail loudly like eval)
@@ -282,9 +298,17 @@ def bench_train_step(H, W, V, train_dtype, iters=8, warmup=2):
     if "warp_violations" in m0:
         wv = float(m0["warp_violations"])
         assert wv == 0, f"fused train warp coverage violated ({wv:.0f})"
+    import os as _os
+    tprof = _os.environ.get("BENCH_TRAIN_PROFILE_DIR")
+    if tprof:
+        # per-op device trace of the timed train loop (perfetto json for
+        # scripts/analyze_trace.py; xplane for tensorboard/xprof)
+        jax.profiler.start_trace(tprof, create_perfetto_trace=True)
     t0 = time.perf_counter()
     run(state, iters)
     dt = time.perf_counter() - t0
+    if tprof:
+        jax.profiler.stop_trace()
     print(f"train step ({train_dtype or 'float32'}): "
           f"{iters / dt:.3f} steps/s", file=sys.stderr)
     return iters / dt

@@ -213,8 +213,13 @@ def main(argv=None):
                     pallas_warp_band=band, pallas_warp_rows=rows,
                     pallas_warp_xband=xband, pallas_warp_train=True,
                     pallas_costreg_train=True),
+                # render-branch fast paths: lanes U-Net convs, the U-Net
+                # compute dtype following --train_dtype, and the ray-major
+                # volume lookup (exact for ref-camera rays)
                 render=dataclasses.replace(
-                    config.render, pallas_costreg_train=True))
+                    config.render, pallas_costreg_train=True,
+                    train_dtype=args.train_dtype,
+                    ray_major_lookup=True))
 
     # each process loads only its shard of the global batch
     # (DistributedSampler semantics, train_rcmvsnet.py:592-600)

@@ -67,6 +67,14 @@ class RenderConfig:
     # TRAIN fast path: the neural-volume RenderCostReg U-Net through the
     # differentiable lanes convs (ops/pallas_costreg_train.py)
     pallas_costreg_train: bool = False
+    # compute dtype of the neural-volume U-Net under training
+    # ('bfloat16' halves its conv + layout traffic; BN stats, the MLP,
+    # ray sampling, compositing and all ray losses stay float32). None=f32.
+    train_dtype: Optional[str] = None
+    # ray-major trilinear neural-volume lookup (TPU fast path — see
+    # models/render_net.py); exact for ref-camera rays, ~1 ulp coordinate
+    # drift vs the per-sample gather
+    ray_major_lookup: bool = False
 
 
 @dataclass(frozen=True)
@@ -106,6 +114,14 @@ class RunConfig:
     # every pass's conv residuals live across the fused gradient and the
     # small-channel (C=8) cost volumes pad 16× in the 128-lane axis.
     remat: bool = True
+    # additionally nn.remat the heavy conv modules INSIDE each pass.
+    # Stacked on the pass-level checkpoint this recomputes every U-Net /
+    # FeatureNet forward TWICE during backward (3 executions total — the
+    # round-5 trace shows each lanes conv 3x per step); it buys the lowest
+    # peak HBM. False keeps only the pass-level checkpoint: one recompute,
+    # ~17% faster steps at the reference train shapes, still fits v5e HBM
+    # (measured round 5). Ignored when remat=False.
+    remat_modules: bool = True
     seed: int = 1
     logdir: str = "./rc-mvsnet"
     save_freq: int = 1

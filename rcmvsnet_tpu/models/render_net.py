@@ -30,7 +30,8 @@ from flax import linen as nn
 from ..core.geometry import HIGHEST
 from ..nn.mlp import AttentionNerfMLP, NerfMLP, positional_encoding
 from ..nn.neural_volume import NeuralVolumeNet
-from ..render.rays import RayBatch, build_color_volume, index_point_feature, sample_rays
+from ..render.rays import (RayBatch, build_color_volume, index_point_feature,
+                           index_point_feature_rays, sample_rays)
 from ..render.volume_render import RenderOutput, depth2dist, volumetric_render
 
 # numpy constants (from the numpy-only transforms module) on purpose:
@@ -69,6 +70,14 @@ class RenderingConsistencyNet(nn.Module):
     remat: bool = False   # remat the neural-volume U-Net under train
     # TRAIN fast path for the neural-volume U-Net (see NeuralVolumeNet)
     costreg_train_impl: str = "xla"
+    # compute dtype of the neural-volume U-Net ('bfloat16' under mixed
+    # precision); everything downstream of it stays float32
+    costreg_dtype: str | None = None
+    # ray-major neural-volume lookup (render/rays.py
+    # index_point_feature_rays): 4 row gathers/ray + MXU z-hat contraction
+    # instead of the 8-tap-per-sample gather whose scatter VJP dominated
+    # the round-5 train profile. Identical math for ref-camera rays.
+    ray_major_lookup: bool = False
 
     @nn.compact
     def __call__(self, volume_feature, pseudo_depth, imgs, w2cs, c2ws,
@@ -84,6 +93,7 @@ class RenderingConsistencyNet(nn.Module):
                                  base_channels=self.volume_channels,
                                  remat=self.remat,
                                  costreg_train_impl=self.costreg_train_impl,
+                                 costreg_dtype=self.costreg_dtype,
                                  name="neural_volume")(volume_feature, train)
 
         B, V, H, W, _ = imgs.shape
@@ -100,7 +110,9 @@ class RenderingConsistencyNet(nn.Module):
                               rays.dirs_world / cos_angle[..., None],
                               w2cs[:, 0, :3, :3], precision=HIGHEST)
 
-        ray_feats = jax.vmap(index_point_feature)(volume, rays.ndc)  # [B,N,S,8]
+        lookup = (index_point_feature_rays if self.ray_major_lookup
+                  else index_point_feature)
+        ray_feats = jax.vmap(lookup)(volume, rays.ndc)    # [B,N,S,8]
         # the reference pairs src images (views 1..V-1) with the cams of
         # views 0..V-2 — reproduced here (see render/rays.py docstring)
         color_feats = jax.vmap(partial(build_color_volume, img_wh=(W, H)))(

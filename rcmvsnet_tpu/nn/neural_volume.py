@@ -26,14 +26,24 @@ class NeuralVolumeNet(nn.Module):
     # (ops/pallas_costreg_train.py); RenderCostReg falls back to XLA when
     # its own B=1 / 8-divisibility gate fails
     costreg_train_impl: str = "xla"
+    # compute dtype of the resize + U-Net ('bfloat16' halves their HBM
+    # traffic — the 48→128-plane resize alone materializes ~430 MB at f32);
+    # the returned neural volume is cast back to float32, and BN statistics
+    # are float32 regardless (RenderConfig.train_dtype)
+    costreg_dtype: str | None = None
 
     @nn.compact
     def __call__(self, volume_feature, train: bool = False):
         """volume_feature: [B, D0, H, W, C] → [B, num_planes, H, W, base]."""
         B, D0, H, W, C = volume_feature.shape
+        out_dtype = volume_feature.dtype
+        if self.costreg_dtype:
+            volume_feature = volume_feature.astype(self.costreg_dtype)
         vol = resize_trilinear(volume_feature, self.num_planes, H, W,
                                align_corners=True)
         RC = (nn.remat(RenderCostReg, static_argnums=(2,))
               if self.remat and train else RenderCostReg)
-        return RC(self.base_channels, train_impl=self.costreg_train_impl,
-                  name="cost_reg_2")(vol, train)
+        out = RC(self.base_channels, train_impl=self.costreg_train_impl,
+                 lanes_dtype=self.costreg_dtype,
+                 name="cost_reg_2")(vol, train)
+        return out.astype(out_dtype)

@@ -113,6 +113,63 @@ def index_point_feature(volume: jnp.ndarray, ndc: jnp.ndarray) -> jnp.ndarray:
     return out[0]
 
 
+def index_point_feature_rays(volume: jnp.ndarray, ndc: jnp.ndarray) -> jnp.ndarray:
+    """Ray-major trilinear neural-volume lookup — the TPU fast path.
+
+    Mathematically identical to index_point_feature for rays cast from the
+    reference camera: every sample of such a ray projects to the SAME ref
+    pixel (cam coords of o + z·d are z·R·d — z cancels in the perspective
+    divide), so the per-(ray, sample) 8-tap 3-D gather decomposes into
+
+      1. four per-RAY spatial taps, each one contiguous [D·C] row of the
+         (H·W, D·C)-transposed volume — 4·N row gathers instead of
+         8·N·S point gathers, and the VJP is a 4·N-row scatter-add of
+         contiguous rows instead of the 1M-point random scatter that
+         dominated the round-5 train profile (38.6 ms/step);
+      2. a dense z-interpolation hat matrix Wz[r, s, d] =
+         relu(1 − |z_pix − d|) contracted on the MXU
+         ([N, S, D] @ [N, D, C]); the hat is exactly grid_sample's
+         per-tap zeros-padded linear weight along depth.
+
+    The spatial taps use the middle sample's (x, y) — bit-identical to the
+    per-sample coordinates up to ~1 ulp of the projection arithmetic
+    (tests/test_render_fastpath.py pins both paths against each other).
+    volume: [D, H, W, C]; ndc: [N, S, 3] in [0, 1]. Returns [N, S, C].
+    """
+    D, H, W, C = volume.shape
+    N, S, _ = ndc.shape
+    dt = volume.dtype
+
+    # per-ray spatial pixel (align_corners=True unnormalize of grid=2·ndc−1)
+    x = ndc[:, S // 2, 0] * (W - 1)                    # [N]
+    y = ndc[:, S // 2, 1] * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dt)
+    wy = (y - y0).astype(dt)
+
+    flat = jnp.transpose(volume, (1, 2, 0, 3)).reshape(H * W, D * C)
+
+    def tap(ix, iy):
+        ix_c = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        iy_c = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        rows = jnp.take(flat, iy_c * W + ix_c, axis=0)   # [N, D·C]
+        valid = ((ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1))
+        return rows * valid[:, None].astype(dt)
+
+    vol_ray = (tap(x0, y0) * ((1 - wx) * (1 - wy))[:, None]
+               + tap(x0 + 1, y0) * (wx * (1 - wy))[:, None]
+               + tap(x0, y0 + 1) * ((1 - wx) * wy)[:, None]
+               + tap(x0 + 1, y0 + 1) * (wx * wy)[:, None])   # [N, D·C]
+    vol_ray = vol_ray.reshape(N, D, C)
+
+    z = (ndc[..., 2] * (D - 1)).astype(dt)              # [N, S]
+    hat = jax.nn.relu(1.0 - jnp.abs(z[..., None]
+                                    - jnp.arange(D, dtype=dt)))  # [N, S, D]
+    return jnp.einsum("nsd,ndc->nsc", hat, vol_ray,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def build_color_volume(pts_world: jnp.ndarray, imgs_src: jnp.ndarray,
                        w2cs: jnp.ndarray, intrinsics: jnp.ndarray,
                        img_wh) -> jnp.ndarray:

@@ -41,7 +41,7 @@ def make_models(config: Config):
         train_dtype=config.backbone.train_dtype,
         pallas_warp_train=config.backbone.pallas_warp_train,
         pallas_costreg_train=config.backbone.pallas_costreg_train,
-        remat=config.run.remat)
+        remat=config.run.remat and config.run.remat_modules)
     render = RenderingConsistencyNet(
         n_rays=config.render.n_rays,
         n_samples=config.render.n_samples,
@@ -52,9 +52,11 @@ def make_models(config: Config):
         num_planes=config.render.num_planes,
         net_type=config.render.net_type,
         pad=config.render.pad,
-        remat=config.run.remat,
+        remat=config.run.remat and config.run.remat_modules,
         costreg_train_impl=("lanes" if config.render.pallas_costreg_train
-                           else "xla"))
+                           else "xla"),
+        costreg_dtype=config.render.train_dtype,
+        ray_major_lookup=config.render.ray_major_lookup)
     return cascade, render
 
 

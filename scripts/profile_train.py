@@ -80,9 +80,14 @@ def main():
         if max_bytes:
             wkw = dict(pallas_warp_max_bytes=max_bytes,
                        pallas_warp_band=band, pallas_warp_rows=rows,
-                       pallas_warp_xband=xband, pallas_warp_train=True)
+                       pallas_warp_xband=xband, pallas_warp_train=True,
+                       pallas_costreg_train=True)
         print("fused train warp:", wkw and "ON")
-    config = Config(backbone=BackboneConfig(train_dtype=dtype, **wkw))
+    from rcmvsnet_tpu.config import RenderConfig
+    rkw = ({"pallas_costreg_train": True}
+           if (on_tpu and os.environ.get("PT_FUSED")) else {})
+    config = Config(backbone=BackboneConfig(train_dtype=dtype, **wkw),
+                    render=RenderConfig(**rkw))
     state = create_train_state(config, batch, steps_per_epoch=1000,
                                rng=jax.random.PRNGKey(0))
     batch = jax.tree_util.tree_map(jnp.asarray, batch)

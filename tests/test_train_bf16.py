@@ -16,10 +16,13 @@ from rcmvsnet_tpu.train.state import create_train_state
 from rcmvsnet_tpu.train.step import make_train_step
 
 
-def _run(train_dtype, steps=3):
+def _run(train_dtype, steps=3, render_kw=None, run_kw=None):
+    from rcmvsnet_tpu.config import RunConfig
     config = Config(
         backbone=BackboneConfig(ndepths=(8, 8, 8), train_dtype=train_dtype),
-        render=RenderConfig(n_rays=32, n_samples=8, num_planes=16))
+        render=RenderConfig(n_rays=32, n_samples=8, num_planes=16,
+                            **(render_kw or {})),
+        run=RunConfig(**(run_kw or {})))
     batch = make_synthetic_batch(B=1, V=3, H=32, W=32, ndepth=8, seed=0)
     state = create_train_state(config, batch, steps_per_epoch=10,
                                rng=jax.random.PRNGKey(0))
@@ -45,6 +48,20 @@ def test_bf16_train_step_tracks_f32():
     # BN running stats stay f32
     stats = jax.tree_util.tree_leaves(state.batch_stats)
     assert all(s.dtype == jnp.float32 for s in stats)
+
+
+def test_round5_fast_combo_tracks_default():
+    """The round-5 train fast-path combo — single-level remat
+    (remat_modules=False), bf16 neural-volume U-Net (render train_dtype),
+    ray-major volume lookup — must track the default-config losses."""
+    _, m0 = _run(None)
+    _, m5 = _run(None, render_kw={"train_dtype": "bfloat16",
+                                  "ray_major_lookup": True},
+                 run_kw={"remat_modules": False})
+    for k in ("loss", "repr_loss", "img_loss", "ray_depth_loss"):
+        a, b = float(m5[k]), float(m0[k])
+        assert np.isfinite(a), k
+        assert abs(a - b) <= 0.05 * abs(b) + 1e-3, (k, a, b)
 
 
 def test_bf16_forward_outputs_are_f32():
