@@ -29,12 +29,14 @@ def _bilinear(img, x, y):
 
 
 def make_synthetic_views(H=64, W=64, V=3, depth0=600.0, seed=0,
-                         baseline=6.0, tilt=0.08):
+                         baseline=6.0, tilt=0.08, tex_upscale=8):
     """Views of a tilted textured plane. Returns dict of numpy arrays:
     images [V,H,W,3] in [0,1], intrinsics [3,3], extrinsics [V,4,4]
     (world == ref cam frame), ref depth [H,W], near/far.
     The plane is z = depth0 + tilt·(x_world): slightly slanted so depth
-    varies and soft-argmax has signal.
+    varies and soft-argmax has signal. tex_upscale sets texture smoothness
+    (smaller = sharper; photometric self-supervision needs ~2 to
+    discriminate sub-pixel disparity — see scripts/train_synth_golden.py).
     """
     rs = np.random.RandomState(seed)
     f = 1.2 * max(H, W)
@@ -47,7 +49,7 @@ def make_synthetic_views(H=64, W=64, V=3, depth0=600.0, seed=0,
     d = depth0 * n[2]
 
     tex_scale = 4  # texture lives on the plane, indexed by world (x, y)
-    tex = _smooth_texture(rs, 4 * H, 4 * W)
+    tex = _smooth_texture(rs, 4 * H, 4 * W, upscale=tex_upscale)
 
     def plane_hit(origins, dirs):
         """Ray-plane intersection. origins [3], dirs [...,3] → pts, z_cam."""
@@ -87,7 +89,8 @@ def make_synthetic_views(H=64, W=64, V=3, depth0=600.0, seed=0,
 
 
 def write_synthetic_scan(root, H=128, W=160, V=5, seed=5, depth0=600.0,
-                         baseline=8.0, scan="scan1", cam_steps=192.0):
+                         baseline=8.0, scan="scan1", cam_steps=192.0,
+                         tex_upscale=8):
     """Materialize a synthetic scene as a DTU-layout scan directory
     ({scan}/{images,cams,pair.txt}) consumable by DTUTestDataset — the
     shared recipe behind the e2e eval tests, the verify skill, and the
@@ -102,7 +105,7 @@ def write_synthetic_scan(root, H=128, W=160, V=5, seed=5, depth0=600.0,
     (scan_dir / "images").mkdir(parents=True, exist_ok=True)
     (scan_dir / "cams").mkdir(exist_ok=True)
     s = make_synthetic_views(H=H, W=W, V=V, depth0=depth0, seed=seed,
-                             baseline=baseline)
+                             baseline=baseline, tex_upscale=tex_upscale)
     for v in range(V):
         img = (s["images"][v].clip(0, 1) * 255).astype(np.uint8)
         cv2.imwrite(str(scan_dir / "images" / f"{v:08d}.jpg"),

@@ -218,6 +218,147 @@ def golden():
     print("wrote", GOLDEN_JSON)
 
 
+UNSUP_CKPT = GOLDEN_DIR / "backbone_synth_unsup.msgpack"
+UNSUP_JSON = GOLDEN_DIR / "e2e_quality_unsup.json"
+# The supervised golden's baseline-8 scene has ~2.6 px full-res disparity
+# (f·B/z = 192·8/600) — fine when GT supervises directly, but the
+# PHOTOMETRIC loss is depth-insensitive below ~a pixel of disparity (the
+# first unsup run's reconstr term sat at 1e-4 from step 0 and depth never
+# moved), and the default 8×-upscaled texture is too smooth to
+# discriminate sub-pixel disparity. The unsupervised golden therefore
+# trains AND evaluates on a wider-baseline, sharper-texture instance of
+# the same plane scene: B=48 → ~15 px disparity (~6 px variation across
+# the depth range), tex_upscale=2. Loss-landscape check (CPU): stage-3
+# loss at GT depth 0.117 < GT+5 0.199 < const-600 0.376 < GT+20 0.709.
+UNSUP_BASELINE = 48.0
+UNSUP_TEX_UPSCALE = 2
+
+
+def build_samples_unsup(tmp="/tmp/golden_scan_unsup"):
+    from rcmvsnet_tpu.data.dtu_test import DTUTestDataset
+    from rcmvsnet_tpu.data.synthetic import write_synthetic_scan
+    _, scene = write_synthetic_scan(tmp, H=H, W=W, V=V, seed=SEED,
+                                    baseline=UNSUP_BASELINE,
+                                    tex_upscale=UNSUP_TEX_UPSCALE)
+    ds = DTUTestDataset(tmp, ["scan1"], nviews=V, ndepths=NDEPTH,
+                        max_h=H, max_w=W)
+    return ds, scene
+
+
+def build_unsup_batches(scene, v_train=4, ndepth=NDEPTH, w_aug=0.01):
+    """Per-reference-view TRAIN batches (full make_train_step key set) for
+    the synthetic scene — the unsupervised analogue of the eval protocol's
+    5 samples. View order per batch: [ref] + nearest (v_train−1) sources
+    (mirroring dtu_train pair selection). GT depth/mask ride along for
+    MONITORING only (train/step.py keeps them out of the gradient)."""
+    from rcmvsnet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    V = scene["images"].shape[0]
+    K = scene["intrinsics"]
+    rs = np.random.RandomState(123)
+    batches = []
+    for r in range(V):
+        order = [r] + sorted((u for u in range(V) if u != r),
+                             key=lambda u: abs(u - r))[:v_train - 1]
+        raw = scene["images"][order]                       # [v, H, W, 3]
+        imgs = (raw - IMAGENET_MEAN) / IMAGENET_STD
+        gamma = rs.uniform(0.7, 1.4)
+        imgs_aug = ((raw.clip(0, 1) ** gamma) - IMAGENET_MEAN) / IMAGENET_STD
+        mean = raw.mean(axis=(1, 2), keepdims=True)
+        var = raw.var(axis=(1, 2), keepdims=True)
+        center = (raw - mean) / (np.sqrt(var) + 1e-8)
+
+        proj = np.zeros((len(order), 2, 4, 4), np.float32)
+        for i, v in enumerate(order):
+            proj[i, 0] = scene["extrinsics"][v]
+            proj[i, 1, :3, :3] = K
+            proj[i, 1, :2] /= 4.0
+        stage2 = proj.copy(); stage2[:, 1, :2] *= 2
+        stage3 = proj.copy(); stage3[:, 1, :2] *= 4
+
+        depth_values = np.linspace(scene["depth_min"], scene["depth_max"],
+                                   ndepth, dtype=np.float32)
+        w2cs = scene["extrinsics"][order]
+        gt = scene["depths"][r]
+        depth_ms = {f"stage{k+1}": gt[::sc, ::sc][None]
+                    for k, sc in enumerate((4, 2, 1))}
+        batches.append({
+            "imgs": imgs[None].astype(np.float32),
+            "imgs_aug": imgs_aug[None].astype(np.float32),
+            "center_imgs": center[None].astype(np.float32),
+            "proj_matrices": {"stage1": proj[None], "stage2": stage2[None],
+                              "stage3": stage3[None]},
+            "depth_values": depth_values[None],
+            "depth": depth_ms,
+            "mask": {k: np.ones_like(v) for k, v in depth_ms.items()},
+            "w2cs": w2cs[None].astype(np.float32),
+            "c2ws": np.linalg.inv(w2cs)[None].astype(np.float32),
+            "intrinsics": np.broadcast_to(
+                K[None], (len(order), 3, 3))[None].astype(np.float32).copy(),
+            "near_fars": np.broadcast_to(
+                np.asarray([scene["depth_min"], scene["depth_max"]],
+                           np.float32)[None],
+                (len(order), 2))[None].copy(),
+            "w_aug": np.asarray(w_aug, np.float32),
+        })
+    return batches
+
+
+def train_unsup(steps=4000, lr=1e-3, out=None):
+    """Train the FULL unsupervised objective (photometric + aug + render
+    consistency, one fused gradient, NO ground truth in the gradient —
+    train/step.py == /root/reference/train_rcmvsnet.py:279-445) on the
+    synthetic scene, cycling the 5 reference views. GT enters only the
+    printed monitoring metrics."""
+    import jax
+    import jax.numpy as jnp
+    import flax.serialization
+    from rcmvsnet_tpu.config import Config, RunConfig
+    from rcmvsnet_tpu.data.synthetic import make_synthetic_views
+    from rcmvsnet_tpu.train.state import create_train_state
+    from rcmvsnet_tpu.train.step import make_train_step
+
+    scene = make_synthetic_views(H=H, W=W, V=V, seed=SEED,
+                                 baseline=UNSUP_BASELINE,
+                                 tex_upscale=UNSUP_TEX_UPSCALE)
+    batches = build_unsup_batches(scene)
+    spe = len(batches)
+    epochs = steps // spe
+    config = Config(run=RunConfig(
+        lr=lr, warmup_iters=100,
+        lr_milestone_epochs=(int(epochs * 0.6), int(epochs * 0.8),
+                             int(epochs * 0.9))))
+    state = create_train_state(config, batches[0], steps_per_epoch=spe,
+                               rng=jax.random.PRNGKey(0))
+    step_fn = jax.jit(make_train_step(config, steps_per_epoch=spe))
+    batches = [jax.tree_util.tree_map(jnp.asarray, b) for b in batches]
+    rng = jax.random.PRNGKey(42)
+    for it in range(steps):
+        state, metrics = step_fn(state, batches[it % spe],
+                                 jax.random.fold_in(rng, it))
+        if it % 200 == 0 or it == steps - 1:
+            print(f"step {it}: loss {float(metrics['loss']):.4f} "
+                  f"reconstr {float(metrics['reconstr_loss_stage3']):.4f} "
+                  f"abs_err(GT monitor) "
+                  f"{float(metrics['abs_depth_error']):.3f}", flush=True)
+
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    out = Path(out) if out else UNSUP_CKPT
+    blob = {"params": jax.device_get(state.params["cascade"]),
+            "batch_stats": jax.device_get(state.batch_stats["cascade"])}
+    out.write_bytes(flax.serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, blob)))
+    print("wrote", out)
+
+
+def golden_unsup():
+    ds, scene = build_samples_unsup()
+    metrics = run_quality(ckpt_path=UNSUP_CKPT, ds=ds, scene=scene)
+    UNSUP_JSON.write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics, indent=2))
+    print("wrote", UNSUP_JSON)
+
+
 def parity_train():
     """Fine-tune the golden backbone at the reference's own TRAIN
     resolution (512×640 — train_rcmvsnet.py datasets/dtu_train crops) so
@@ -233,4 +374,5 @@ def parity_train():
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "train"
-    {"train": train, "golden": golden, "parity_train": parity_train}[mode]()
+    {"train": train, "golden": golden, "parity_train": parity_train,
+     "train_unsup": train_unsup, "golden_unsup": golden_unsup}[mode]()
