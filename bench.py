@@ -128,9 +128,15 @@ def main():
     # hand the warp kernel its source layout straight from the feature
     # heads when every stage takes the fully fused path
     rows_of = lambda i: rows[i] if isinstance(rows, tuple) else rows
+    # mirrors cli/eval_dtu.py's gate incl. the per-stage VMEM bounds
+    # (warp-layout handoff needs the fused path at EVERY stage)
+    from rcmvsnet_tpu.ops.pallas_warp2 import EVAL_VMEM_GATE, eval_vmem_bytes
     warp_layout = use_packed and all(
         (H // sc) % rows_of(i) == 0 and (H // sc) % 8 == 0
         and (W // sc) % 8 == 0
+        and (H // sc) * (W // sc) * 8 * sc * 2 <= max_bytes
+        and eval_vmem_bytes(VIEWS, H // sc, W // sc, 8 * sc)
+        <= EVAL_VMEM_GATE
         for i, sc in enumerate((4, 2, 1))) and all(
         d % 8 == 0 for d in (48, 32, 8))
 

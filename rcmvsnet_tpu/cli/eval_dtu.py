@@ -218,6 +218,8 @@ def build_forward(cascade, args, sample, n_shards: int = 1):
     ndepths = tuple(int(x) for x in args.ndepths.split(",") if x)
     rows = cascade.pallas_warp_rows
     rows_of = lambda i: rows[i] if isinstance(rows, (tuple, list)) else rows
+    from ..ops.pallas_warp2 import EVAL_VMEM_GATE, eval_vmem_bytes
+    Vs = sample["imgs"].shape[0]
     warp_layout = (use_packed and cascade.pallas_costreg
                    and cascade.pallas_warp_max_bytes > 0
                    and all(d % 8 == 0 for d in ndepths)
@@ -227,6 +229,10 @@ def build_forward(cascade, args, sample, n_shards: int = 1):
                            and (Hs // sc) * (Ws // sc)
                            * cascade.base_channels * sc * 2
                            <= cascade.pallas_warp_max_bytes
+                           and eval_vmem_bytes(
+                               Vs, Hs // sc, Ws // sc,
+                               cascade.base_channels * sc)
+                           <= EVAL_VMEM_GATE
                            for i, sc in enumerate((4, 2, 1))))
 
     def _fwd(v, imgs, projs, dv):

@@ -444,6 +444,13 @@ class CascadeMVSNet(nn.Module):
 
             src_bytes = h * w * Cs * 2  # bf16 VMEM residency requirement
             use_pallas = (0 < src_bytes <= self.pallas_warp_max_bytes)
+            if use_pallas and not train:
+                # the eval kernel keeps ALL V source views resident — the
+                # per-view budget alone passes geometries that exceed VMEM
+                # at higher view counts (ops/pallas_warp2.eval_vmem_bytes)
+                from ..ops.pallas_warp2 import EVAL_VMEM_GATE, eval_vmem_bytes
+                use_pallas = (eval_vmem_bytes(V, h, w, Cs)
+                              <= EVAL_VMEM_GATE)
             # the train kernel's backward keeps the full V-view src2d plus
             # an f32 dsrc accumulator resident (~3x the forward footprint)
             # — gate it on the backward's actual residency against the

@@ -361,6 +361,35 @@ def _warp_var_plane_kernel(proj_ref, dv_a, dv_b, mask_ref, src_ref,
             0, n_rg, body, jnp.int32(0))
 
 
+# Calibrated admission threshold for eval_vmem_bytes (see below): the
+# estimator over-predicts the compiler's true scoped-VMEM requirement by
+# ~10-15%. Known-good point: DTU 1152×864 V=5 stage 3 — estimator
+# 142.5 MB, runs in production. Known-bad point: T&T 1920×1056 V=7
+# stage 2 — estimator 173.6 MB, real requirement 155.8 MB (> the 128 MB
+# v5e VMEM; compile OOM observed round 5). 150 MB admits every
+# proven-working geometry and rejects the proven failure with margin.
+EVAL_VMEM_GATE = 150 * 1024 * 1024
+
+
+def eval_vmem_bytes(views: int, h: int, w: int, C: int,
+                    itemsize: int = 2, x_align: int = 256) -> int:
+    """Estimated VMEM residency of the fused eval warp kernel at one
+    stage: ALL `views` channel-major source maps (x-aligned rows) stay
+    resident for the whole sweep, plus a double-buffered output block in
+    the lanes layout and ~24–28 MB of scratch/hat margin (mirrors the
+    vmem_limit computation below). The per-view `pallas_warp_max_bytes`
+    budget alone admits geometries that blow VMEM at higher view counts —
+    T&T's V=7 at 1920×1056 needs 6 × 16.2 MB of stage-2 sources where
+    DTU's V=5 fit — so the cascade/CLI gates bound this estimate against
+    EVAL_VMEM_GATE (a calibrated threshold, not the raw 128 MB: the
+    estimate is deliberately conservative per-term)."""
+    from .pallas_costreg import make_layout
+    wsrc = -(-w // x_align) * x_align
+    src = views * h * C * wsrc * itemsize
+    out_block = C * make_layout(h, w).lanesp * itemsize
+    return src + max(2 * out_block + 24 * 1024 * 1024, 28 * 1024 * 1024)
+
+
 def plane_sweep_variance_lanes(
         features: jnp.ndarray, projs: jnp.ndarray,
         depth_values: jnp.ndarray, lay: LaneLayout, *,

@@ -97,9 +97,15 @@ def build_fused_forward(H, W, sample):
     cascade, _ = make_models(config)
     use_packed = packed_shapes_ok(H, W)
     rows_of = lambda i: rows[i] if isinstance(rows, tuple) else rows
+    # mirrors cli/eval_dtu.py's gate incl. the per-stage VMEM bounds
+    # (stage C = base·sc): warp-layout handoff needs EVERY stage fused
+    from rcmvsnet_tpu.ops.pallas_warp2 import EVAL_VMEM_GATE, eval_vmem_bytes
     warp_layout = use_packed and all(
         (H // sc) % rows_of(i) == 0 and (H // sc) % 8 == 0
-        and (W // sc) % 8 == 0 for i, sc in enumerate((4, 2, 1)))
+        and (W // sc) % 8 == 0
+        and (H // sc) * (W // sc) * 8 * sc * 2 <= max_bytes
+        and eval_vmem_bytes(V, H // sc, W // sc, 8 * sc) <= EVAL_VMEM_GATE
+        for i, sc in enumerate((4, 2, 1)))
 
     @jax.jit
     def forward(variables, imgs, projs, dv):
@@ -240,6 +246,7 @@ def study(W, H, ckpt, f32_cpu=False):
 
     out = {
         "resolution": f"{W}x{H}",
+        "views": V,
         "fused_config": {"max_bytes": cfg[0], "band": list(np.ravel(cfg[1])),
                          "rows": list(np.ravel(cfg[2])),
                          "xband": list(np.ravel(cfg[3]))},
@@ -279,6 +286,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=str(DEFAULT_CKPT))
     ap.add_argument("--sizes", default="1152x864,1600x1184")
+    ap.add_argument("--views", type=int, default=5,
+                    help="views per sample (DTU protocol 5; Tanks&Temples "
+                         "geometry: --views 7 --sizes 1920x1056 — "
+                         "eval_rcmvsnet_tanks.py:54-56,387)")
     ap.add_argument("--out", default=str(REPO / "PARITY_data.json"))
     ap.add_argument("--f32_cpu", action="store_true",
                     help="run the f32 reference arm on the CPU backend "
@@ -295,13 +306,15 @@ def main():
         pinned = os.environ.get("JAX_PLATFORMS", "")
         if pinned and "cpu" not in [p.strip() for p in pinned.split(",")]:
             jax.config.update("jax_platforms", f"{pinned},cpu")
+    global V
+    V = args.views
     out_path = Path(args.out)
     results = (json.loads(out_path.read_text())
                if out_path.exists() else [])
-    done = {r["resolution"] for r in results}
+    done = {(r["resolution"], r.get("views", 5)) for r in results}
     for size in args.sizes.split(","):
         w, h = (int(t) for t in size.split("x"))
-        if f"{w}x{h}" in done:
+        if (f"{w}x{h}", V) in done:
             print(f"skip {w}x{h} (already in {out_path.name})", flush=True)
             continue
         results.append(study(w, h, args.ckpt, f32_cpu=args.f32_cpu))
