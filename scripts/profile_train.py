@@ -83,11 +83,16 @@ def main():
                        pallas_warp_xband=xband, pallas_warp_train=True,
                        pallas_costreg_train=True)
         print("fused train warp:", wkw and "ON")
-    from rcmvsnet_tpu.config import RenderConfig
-    rkw = ({"pallas_costreg_train": True}
+    from rcmvsnet_tpu.config import RenderConfig, RunConfig
+    rkw = ({"pallas_costreg_train": True, "train_dtype": dtype,
+            "ray_major_lookup": True}
            if (on_tpu and os.environ.get("PT_FUSED")) else {})
+    # round-5 production train config: single-level remat (pass
+    # checkpoint only) — see RunConfig.remat_modules
     config = Config(backbone=BackboneConfig(train_dtype=dtype, **wkw),
-                    render=RenderConfig(**rkw))
+                    render=RenderConfig(**rkw),
+                    run=RunConfig(remat_modules=not (
+                        on_tpu and os.environ.get("PT_FUSED"))))
     state = create_train_state(config, batch, steps_per_epoch=1000,
                                rng=jax.random.PRNGKey(0))
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
