@@ -181,9 +181,10 @@ def main():
     import os
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
-        # capture a jax.profiler trace of the timed loop (inspect with
-        # tensorboard or xprof); enable via BENCH_PROFILE_DIR=/tmp/prof
-        jax.profiler.start_trace(profile_dir)
+        # capture a jax.profiler trace of the timed loop (perfetto json
+        # for scripts/analyze_trace.py; xplane for tensorboard/xprof);
+        # enable via BENCH_PROFILE_DIR=/tmp/prof
+        jax.profiler.start_trace(profile_dir, create_perfetto_trace=True)
 
     start = time.perf_counter()
     depth = run_iters()
